@@ -1,0 +1,127 @@
+"""Data layer: store roundtrip, label pipeline, balance/split RNG parity."""
+
+import numpy as np
+import pytest
+from sklearn import model_selection, preprocessing, utils
+
+from radarml_tpu.data.balance import balance_classes
+from radarml_tpu.data.labels import (
+    LabelEncoder,
+    apply_aliases,
+    class_weights,
+    filter_samples,
+)
+from radarml_tpu.data.split import train_val_test_split
+from radarml_tpu.data.store import load_datasets, save_dataset, stack_samples
+from radarml_tpu.data.synthetic import make_dataset, make_scan_batch
+
+
+def test_store_roundtrip_and_append(tmp_path):
+    samples, labels = make_dataset(6, seed=7)
+    path = str(tmp_path / "ds.pickle")
+    save_dataset(path, samples[:4], labels[:4])
+    save_dataset(path, samples[4:], labels[4:])  # append
+    data = load_datasets([path])
+    assert len(data["samples"]) == 6
+    assert data["labels"] == labels
+    np.testing.assert_array_equal(data["samples"][5][0], samples[5][0])
+
+
+def test_label_encoder_matches_sklearn():
+    labels = ["dog", "cat", "person", "dog", "cat"]
+    le, enc = LabelEncoder.fit_transform(labels)
+    sk = preprocessing.LabelEncoder()
+    sk_enc = sk.fit_transform(labels)
+    assert list(le.classes_) == list(sk.classes_)
+    np.testing.assert_array_equal(enc, sk_enc)
+    assert le.inverse_transform(enc) == labels
+
+
+def test_alias_and_filter():
+    labels = ["polly", "rebel", "person", "horse"]
+    samples = [0, 1, 2, 3]
+    assert apply_aliases(labels) == ["dog", "cat", "person", "horse"]
+    fs, fl = filter_samples(samples, labels, ["person", "dog", "cat"])
+    assert fs == [0, 1, 2]
+    assert fl == ["dog", "cat", "person"]
+
+
+def test_class_weights():
+    y = np.array([0, 0, 0, 0, 1, 1, 2])
+    w = class_weights(y)
+    assert w == {0: 1.0, 1: 2.0, 2: 4.0}
+
+
+def ref_balance(labels, data, seed=1234):
+    """Reference-formula oracle via sklearn (train.py:230-274)."""
+    import collections, functools
+
+    mc = collections.Counter(labels).most_common()
+    if len(set(c for _, c in mc)) == 1:
+        return labels, data
+    indices = [np.nonzero(labels == i)[0] for (i, _) in mc]
+    labels_list = [labels[i] for i in indices]
+    data_list = [data[i] for i in indices]
+    _, majority = mc[0]
+    up = lambda s: utils.resample(s, replace=True, n_samples=majority, random_state=seed)
+    data_up = [up(d) for d in data_list]
+    labels_up = [up(l) for l in labels_list]
+    return (
+        functools.reduce(lambda a, b: np.concatenate((a, b)), labels_up),
+        functools.reduce(lambda a, b: np.vstack((a, b)), data_up),
+    )
+
+
+def test_balance_classes_bit_parity(rng):
+    y = np.array([0] * 10 + [1] * 4 + [2] * 7)
+    X = rng.random((21, 5))
+    yb, Xb = balance_classes(y, X)
+    yr, Xr = ref_balance(y, X)
+    np.testing.assert_array_equal(yb, yr)
+    np.testing.assert_array_equal(Xb, Xr)
+    # Balanced: every class at majority count
+    _, counts = np.unique(yb, return_counts=True)
+    assert set(counts) == {10}
+
+
+def test_balance_classes_with_sup_mask(rng):
+    y = np.array([0] * 6 + [1] * 3)
+    X = rng.random((9, 4))
+    sup = np.array([True] * 5 + [False] * 4)
+    Xb, yb, supb = balance_classes(y, X, sup_mask=sup, shuffle=False)
+    assert Xb.shape[0] == yb.size == supb.size == 12
+
+
+def test_split_matches_sklearn(rng):
+    n = 50
+    X = rng.random((n, 3))
+    y = rng.integers(0, 3, n)
+    (Xtr, ytr), (Xv, yv), (Xte, yte) = train_val_test_split(X, y, (0.8, 0.1, 0.1))
+    sk_Xtr, sk_Xvt, sk_ytr, sk_yvt = model_selection.train_test_split(
+        X, y, test_size=0.2, random_state=1234, shuffle=True
+    )
+    np.testing.assert_array_equal(Xtr, sk_Xtr)
+    np.testing.assert_array_equal(ytr, sk_ytr)
+    val_split = int(len(sk_Xvt) * 0.5)
+    np.testing.assert_array_equal(Xv, sk_Xvt[:val_split])
+    np.testing.assert_array_equal(Xte, sk_Xvt[val_split:])
+
+
+def test_synthetic_dataset_shapes_and_determinism():
+    s1, l1 = make_dataset(5, seed=42)
+    s2, l2 = make_dataset(5, seed=42)
+    assert l1 == l2
+    np.testing.assert_array_equal(s1[0][0], s2[0][0])
+    xz, yz, xy = stack_samples(s1)
+    assert xz.shape == (5, 22, 176)
+    assert yz.shape == (5, 31, 176)
+    assert xy.shape == (5, 22, 31)
+    assert xz.max() <= 255.0 and xz.min() >= 0.0
+
+
+def test_scan_batch_targets_consistent():
+    cubes, targets = make_scan_batch(3, seed=9)
+    assert cubes.shape == (3, 22, 31, 176)
+    for c, t in zip(cubes, targets):
+        # planted blob should dominate its neighborhood
+        assert c[t.i, t.j, t.k] > np.median(c) + 50
