@@ -1,0 +1,114 @@
+"""Benchmark: radar scans/sec (preprocess + classify) per chip.
+
+Measures the framework's end-to-end predict hot path — projection
+slicing, cubic-spline zoom, feature concat/scale, calibrated linear
+scoring, thresholding — as the one jitted device program in
+radarml_tpu.models.pipeline, on whatever accelerator JAX finds
+(single TPU chip under the driver; CPU locally).
+
+Baseline: the reference runs the same logical pipeline at ~5 scans/s on
+a Raspberry Pi 4 (README.md:48, predict.log "Radar frame rate: 5.0"),
+with ~8-10 ms of per-target preprocess+classify on top (BASELINE.md).
+`vs_baseline` is scans/sec over that 5 scans/s figure. Scan cubes are
+device-resident when timed (the radar itself, not the chip, bounds
+ingest in the real system; the metric isolates per-chip compute
+throughput).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SCANS_PER_SEC = 5.0
+
+
+def main():
+    import jax
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.data.labels import LabelEncoder
+    from radarml_tpu.data.synthetic import make_dataset, make_scan_batch
+    from radarml_tpu.models.linear import (
+        SGDConfig,
+        calibrate_ovr,
+        sgd_fit,
+        sgd_model,
+    )
+    from radarml_tpu.models.pipeline import RadarPredictor, pad_targets
+    from radarml_tpu.ops.features import process_samples
+
+    # --- train a small demo model (not timed) ---------------------------
+    samples, labels = make_dataset(90, seed=11)
+    le, y = LabelEncoder.fit_transform(labels)
+    X = process_samples(samples, scale=True).astype(np.float32)
+    cfg = SGDConfig(alpha=1e-5)
+    state = sgd_fit(X[:70], y[:70], n_classes=len(le.classes_), cfg=cfg, epochs=15)
+    model = sgd_model(state, cfg)
+    calib = calibrate_ovr(model, X[70:], y[70:])
+
+    predictor = RadarPredictor(
+        train_arena=DEFAULT_ARENA,
+        scan_arena=DEFAULT_ARENA,
+        model=model,
+        calibration=calib,
+        min_proba=0.7,
+    )
+
+    # --- benchmark input: batch of scans, 4 target slots each ------------
+    BATCH = 512
+    MAX_TARGETS = 4
+    cubes_np, targets = make_scan_batch(BATCH, seed=7)
+    xyz_np, valid_np = pad_targets(
+        [[(t.x, t.y, t.z)] for t in targets], max_targets=MAX_TARGETS
+    )
+    cubes = jax.device_put(cubes_np)
+    xyz = jax.device_put(xyz_np)
+    valid = jax.device_put(valid_np)
+
+    # Warmup / compile.
+    pred, best_p, _ = predictor(cubes, xyz, valid)
+    jax.block_until_ready((pred, best_p))
+
+    # --- throughput -------------------------------------------------------
+    ITERS = 30
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        pred, best_p, _ = predictor(cubes, xyz, valid)
+    jax.block_until_ready((pred, best_p))
+    dt = time.perf_counter() - t0
+    scans_per_sec = BATCH * ITERS / dt
+
+    # --- single-scan p50 latency ------------------------------------------
+    c1, x1, v1 = cubes[:1], xyz[:1], valid[:1]
+    out = predictor(c1, x1, v1)
+    jax.block_until_ready(out)
+    lat = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        out = predictor(c1, x1, v1)
+        jax.block_until_ready(out)
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "radar scans/sec (preprocess+classify) per chip",
+                "value": round(scans_per_sec, 1),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 1),
+                "p50_single_scan_ms": round(p50_ms, 3),
+                "batch": BATCH,
+                "max_targets": MAX_TARGETS,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

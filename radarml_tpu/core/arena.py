@@ -144,7 +144,14 @@ class Arena:
         )
         j = (phi - self.phi_min) * (self.size_y - 1) / (self.phi_max - self.phi_min)
         k = (r - self.r_min) * (self.size_z - 1) / (self.r_max - self.r_min)
-        trunc = lambda v: jnp.trunc(v).astype(jnp.int32)
+        # Nudge before truncation: targets that sit exactly on a grid
+        # node (the common case for derived targets) land a few float32
+        # ulps below the integer, which truncation would send to the
+        # neighboring cell. 1e-3 index-units dwarfs f32 rounding error
+        # (~1e-5 at index scale) while being far below any physically
+        # meaningful sub-cell offset.
+        eps = 1e-3
+        trunc = lambda v: jnp.trunc(v + eps).astype(jnp.int32)
         return trunc(i), trunc(j), trunc(k)
 
     def clamped_matrix_indices(self, x, y, z):

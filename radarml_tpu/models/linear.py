@@ -1,0 +1,373 @@
+"""Linear classifier family: scoring, calibration, and SGD training.
+
+TPU-native re-design of the reference's SGD/logistic path
+(train.py:324-440, predict.py:56-70): scoring is one batched matmul on
+the MXU; probability calibration is Platt sigmoid scaling; training is
+a jitted per-sample SGD scan with sklearn-compatible dynamics (optimal
+learning-rate schedule, L1/L2/elasticnet penalties, optional averaging,
+one-vs-all reduction) so hyperparameters transfer from the reference's
+grids unchanged.
+
+Scoring parity with pickled sklearn estimators is exact to float32
+(tests/test_linear.py loads sklearn coefficients into this model and
+compares); training parity is dynamics-level, not bit-level — sklearn's
+per-epoch shuffling RNG is internal to its Cython loop, so we validate
+by matching accuracy on held-out data instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class LinearModel(NamedTuple):
+    """One-vs-all linear model: logits = X @ coef.T + intercept."""
+
+    coef: jax.Array  # (n_classes_ova, n_features); (1, F) when binary
+    intercept: jax.Array  # (n_classes_ova,)
+
+
+class SigmoidCalibration(NamedTuple):
+    """Per-column Platt scaling: p = 1 / (1 + exp(a * f + b))."""
+
+    a: jax.Array  # (n_cols,)
+    b: jax.Array  # (n_cols,)
+
+
+def decision_function(model: LinearModel, X: jax.Array) -> jax.Array:
+    """(N, F) → (N, C) margins. The serving hot path: a single matmul.
+
+    Runs at HIGHEST precision so TPU float32 (not bf16-pass) matmuls
+    keep scoring bit-comparable with the reference; the classes axis is
+    tiny, so this costs nothing.
+    """
+    return (
+        jnp.dot(
+            X,
+            model.coef.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + model.intercept
+    )
+
+
+def predict(model: LinearModel, X: jax.Array) -> jax.Array:
+    """Class indices. Binary models use the sklearn (df > 0) rule."""
+    df = decision_function(model, X)
+    if model.coef.shape[0] == 1:
+        return (df[:, 0] > 0).astype(jnp.int32)
+    return jnp.argmax(df, axis=1).astype(jnp.int32)
+
+
+def predict_proba_log_loss(model: LinearModel, X: jax.Array) -> jax.Array:
+    """Probabilities with sklearn SGDClassifier(loss='log') semantics.
+
+    Multiclass: per-class sigmoid of the OvA margin, normalized to sum
+    one (uniform when all sigmoids underflow to zero). Binary: plain
+    sigmoid (reference predict.py:60 relies on this contract).
+    """
+    df = decision_function(model, X)
+    if model.coef.shape[0] == 1:
+        p1 = jax.nn.sigmoid(df[:, 0])
+        return jnp.stack([1.0 - p1, p1], axis=1)
+    prob = jax.nn.sigmoid(df)
+    total = prob.sum(axis=1, keepdims=True)
+    uniform = jnp.full_like(prob, 1.0 / prob.shape[1])
+    return jnp.where(total > 0, prob / jnp.where(total > 0, total, 1.0), uniform)
+
+
+def predict_proba_calibrated(
+    model: LinearModel, calib: SigmoidCalibration, X: jax.Array
+) -> jax.Array:
+    """CalibratedClassifierCV(cv='prefit', sigmoid) semantics.
+
+    Each OvR margin runs through its own fitted sigmoid; multiclass
+    probabilities renormalize, binary fills the complement column.
+    This is the exact function the reference's saved model evaluates at
+    predict time (train.py:722-724 + predict.py:60).
+    """
+    df = decision_function(model, X)
+    p = 1.0 / (1.0 + jnp.exp(calib.a * df + calib.b))
+    if model.coef.shape[0] == 1:
+        return jnp.concatenate([1.0 - p, p], axis=1)
+    total = p.sum(axis=1, keepdims=True)
+    uniform = jnp.full_like(p, 1.0 / p.shape[1])
+    return jnp.where(total > 0, p / jnp.where(total > 0, total, 1.0), uniform)
+
+
+def fit_sigmoid_calibration(
+    df: np.ndarray, y: np.ndarray, max_iter: int = 100
+) -> Tuple[float, float]:
+    """Fit Platt scaling parameters (a, b) for one column.
+
+    Implements Platt (1999) as refined by Lin/Weng/Keerthi (2007): a
+    Newton iteration with backtracking on the regularized maximum
+    likelihood objective, with Bayesian-prior targets. Host-side; runs
+    once per class on a validation split.
+    """
+    df = np.asarray(df, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    prior0 = float(np.sum(y <= 0))
+    prior1 = float(y.shape[0] - prior0)
+    T = np.where(y > 0, (prior1 + 1.0) / (prior1 + 2.0), 1.0 / (prior0 + 2.0))
+
+    a, b = 0.0, float(np.log((prior0 + 1.0) / (prior1 + 1.0)))
+
+    def nll(a_, b_):
+        # P(y=1|f) = sigmoid(-(a f + b)); cross-entropy against targets T
+        # simplifies to sum log(1+e^z) - (1-T) z with z = a f + b.
+        z = a_ * df + b_
+        lse = np.logaddexp(0.0, z)
+        return float(np.sum(T * lse + (1.0 - T) * (lse - z)))
+
+    sigma = 1e-12
+    fval = nll(a, b)
+    for _ in range(max_iter):
+        z = a * df + b
+        # NLL = sum log(1+e^z) - (1-T) z  →  dNLL/dz = sigmoid(z) - (1-T)
+        s = 1.0 / (1.0 + np.exp(-z))
+        d1 = s - (1.0 - T)
+        d2 = s * (1.0 - s)
+        grad_a = float(np.dot(d1, df))
+        grad_b = float(np.sum(d1))
+        h_aa = float(np.dot(d2, df * df)) + sigma
+        h_bb = float(np.sum(d2)) + sigma
+        h_ab = float(np.dot(d2, df))
+        det = h_aa * h_bb - h_ab * h_ab
+        if det == 0:
+            break
+        da = -(h_bb * grad_a - h_ab * grad_b) / det
+        db = -(h_aa * grad_b - h_ab * grad_a) / det
+        gd = grad_a * da + grad_b * db
+        step = 1.0
+        while step >= 1e-10:
+            na, nb = a + step * da, b + step * db
+            nf = nll(na, nb)
+            if nf < fval + 1e-4 * step * gd:
+                a, b, fval = na, nb, nf
+                break
+            step /= 2.0
+        else:
+            break
+        if abs(gd) < 1e-12:
+            break
+    return float(a), float(b)
+
+
+def calibrate_ovr(
+    model: LinearModel, X_val: np.ndarray, y_val: np.ndarray
+) -> SigmoidCalibration:
+    """Fit per-class sigmoid calibration on a validation split
+    (the reference's CalibratedClassifierCV(cv='prefit') step)."""
+    df = np.asarray(decision_function(model, jnp.asarray(X_val)))
+    n_ova = model.coef.shape[0]
+    a_list, b_list = [], []
+    for k in range(n_ova):
+        y_bin = (y_val == (1 if n_ova == 1 else k)).astype(np.float64)
+        a, b = fit_sigmoid_calibration(df[:, k], y_bin)
+        a_list.append(a)
+        b_list.append(b)
+    return SigmoidCalibration(
+        a=jnp.asarray(a_list, dtype=jnp.float32),
+        b=jnp.asarray(b_list, dtype=jnp.float32),
+    )
+
+
+# --------------------------------------------------------------------------
+# sklearn interop
+# --------------------------------------------------------------------------
+
+def from_sklearn_linear(clf) -> LinearModel:
+    """Load a fitted sklearn linear estimator (SGDClassifier /
+    LogisticRegression / LinearSVC) into a LinearModel."""
+    return LinearModel(
+        coef=jnp.asarray(np.asarray(clf.coef_), dtype=jnp.float32),
+        intercept=jnp.asarray(
+            np.ravel(np.asarray(clf.intercept_)), dtype=jnp.float32
+        ),
+    )
+
+
+def from_sklearn_calibrated(cal_clf) -> Tuple[LinearModel, SigmoidCalibration]:
+    """Load sklearn CalibratedClassifierCV(prefit sigmoid) wrapping a
+    linear estimator — the exact artifact the reference pickles
+    (train.py:729-731)."""
+    cc = cal_clf.calibrated_classifiers_[0]
+    base = getattr(cc, "estimator", None) or getattr(cc, "base_estimator", None)
+    # Unwrap FrozenEstimator (the sklearn >= 1.6 spelling of prefit).
+    while base is not None and not hasattr(base, "coef_"):
+        base = getattr(base, "estimator", None)
+    model = from_sklearn_linear(base)
+    a = [float(c.a_) for c in cc.calibrators]
+    b = [float(c.b_) for c in cc.calibrators]
+    return model, SigmoidCalibration(
+        a=jnp.asarray(a, dtype=jnp.float32), b=jnp.asarray(b, dtype=jnp.float32)
+    )
+
+
+# --------------------------------------------------------------------------
+# SGD training (sklearn-compatible dynamics, jitted scan)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SGDConfig:
+    """Hyperparameters mirroring sklearn.linear_model.SGDClassifier
+    (the reference's grid axes, train.py:356-367)."""
+
+    alpha: float = 1e-4
+    penalty: str = "l2"  # l1 | l2 | elasticnet
+    l1_ratio: float = 0.15
+    max_iter: int = 1000
+    average: bool = False
+    tol: float = 1e-3
+    fit_intercept: bool = True
+
+
+class SGDState(NamedTuple):
+    coef: jax.Array  # (C, F)
+    intercept: jax.Array  # (C,)
+    t: jax.Array  # scalar step counter
+    q: jax.Array  # (C, F) cumulative-L1 credit
+    u: jax.Array  # scalar cumulative-L1 budget
+    avg_coef: jax.Array
+    avg_intercept: jax.Array
+
+
+def _init_t(alpha: float) -> float:
+    """sklearn's 'optimal' schedule initialization (Bottou heuristic)."""
+    typw = np.sqrt(1.0 / np.sqrt(alpha))
+    # dloss of log loss at (-typw, +1) has magnitude < 1, so eta0 = typw.
+    eta0 = typw / max(1.0, 1.0 / (1.0 + np.exp(typw)))
+    return 1.0 / (eta0 * alpha)
+
+
+def sgd_init(n_classes: int, n_features: int, cfg: SGDConfig) -> SGDState:
+    n_ova = 1 if n_classes == 2 else n_classes
+    z = jnp.zeros((n_ova, n_features), dtype=jnp.float32)
+    return SGDState(
+        coef=z,
+        intercept=jnp.zeros((n_ova,), dtype=jnp.float32),
+        t=jnp.asarray(_init_t(cfg.alpha), dtype=jnp.float32),
+        q=z,
+        u=jnp.asarray(0.0, dtype=jnp.float32),
+        avg_coef=z,
+        avg_intercept=jnp.zeros((n_ova,), dtype=jnp.float32),
+    )
+
+
+def _make_epoch_fn(cfg: SGDConfig, n_classes: int):
+    """Build a jitted one-epoch (full pass, per-sample updates) function.
+
+    One-vs-all: every binary problem consumes the same sample stream in
+    the same order, vectorized across the class axis — the TPU-friendly
+    layout for what sklearn runs as C sequential binary fits.
+    """
+    alpha = cfg.alpha
+    l1_ratio = cfg.l1_ratio if cfg.penalty == "elasticnet" else (
+        1.0 if cfg.penalty == "l1" else 0.0
+    )
+    l2_scale = 1.0 - l1_ratio
+    use_l1 = l1_ratio > 0.0
+    n_ova = 1 if n_classes == 2 else n_classes
+
+    def sample_update(state: SGDState, xy):
+        x, y = xy  # x: (F,), y: scalar int
+        if n_ova == 1:
+            y_ova = jnp.where(y == 1, 1.0, -1.0)[None]
+        else:
+            y_ova = jnp.where(jnp.arange(n_ova) == y, 1.0, -1.0)
+        eta = 1.0 / (alpha * state.t)
+
+        margin = (state.coef @ x + state.intercept) * y_ova  # (C,)
+        # log-loss gradient wrt margin: -y / (1 + exp(margin))
+        g = -y_ova / (1.0 + jnp.exp(jnp.clip(margin, -30.0, 30.0)))  # (C,)
+
+        coef = state.coef
+        # L2 shrink (applied before the gradient step, as sklearn does
+        # via wscale).
+        if l2_scale > 0.0:
+            coef = coef * (1.0 - eta * alpha * l2_scale)
+        coef = coef - eta * g[:, None] * x[None, :]
+        intercept = state.intercept - eta * g
+
+        q, u = state.q, state.u
+        if use_l1:
+            # Tsuruoka et al. cumulative L1 penalty.
+            u = u + eta * alpha * l1_ratio
+            z = coef
+            coef = jnp.where(
+                z > 0,
+                jnp.maximum(0.0, z - (u + q)),
+                jnp.where(z < 0, jnp.minimum(0.0, z + (u - q)), z),
+            )
+            q = q + (coef - z)
+
+        if cfg.average:
+            # Uniform average over all steps seen so far.
+            n_seen = state.t - _init_t(cfg.alpha) + 1.0
+            w = 1.0 / n_seen
+            avg_coef = state.avg_coef + w * (coef - state.avg_coef)
+            avg_intercept = state.avg_intercept + w * (
+                intercept - state.avg_intercept
+            )
+        else:
+            avg_coef, avg_intercept = state.avg_coef, state.avg_intercept
+
+        return (
+            SGDState(coef, intercept, state.t + 1.0, q, u, avg_coef, avg_intercept),
+            None,
+        )
+
+    @jax.jit
+    def epoch(state: SGDState, X: jax.Array, y: jax.Array) -> SGDState:
+        state, _ = jax.lax.scan(sample_update, state, (X, y))
+        return state
+
+    return epoch
+
+
+def sgd_fit(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_classes: int,
+    cfg: SGDConfig = SGDConfig(),
+    epochs: Optional[int] = None,
+    seed: int = 1234,
+    state: Optional[SGDState] = None,
+    shuffle: bool = True,
+) -> SGDState:
+    """Fit (or continue fitting) the OvA SGD classifier.
+
+    With `state` given this is the online-learning / partial_fit path
+    (reference train.py:409-416); otherwise a fresh fit. `epochs`
+    defaults to the sklearn heuristic max(1e6/n, 1000) capped to a
+    practical bound since each epoch is a full jitted scan.
+    """
+    X = jnp.asarray(X, dtype=jnp.float32)
+    y = jnp.asarray(y, dtype=jnp.int32)
+    n = X.shape[0]
+    if epochs is None:
+        epochs = int(min(max(np.ceil(10**6 / n), 5), 300))
+    if state is None:
+        state = sgd_init(n_classes, X.shape[1], cfg)
+    epoch_fn = _make_epoch_fn(cfg, n_classes)
+    rng = np.random.default_rng(seed)
+    for _ in range(epochs):
+        if shuffle:
+            perm = jnp.asarray(rng.permutation(n))
+            state = epoch_fn(state, X[perm], y[perm])
+        else:
+            state = epoch_fn(state, X, y)
+    return state
+
+
+def sgd_model(state: SGDState, cfg: SGDConfig) -> LinearModel:
+    if cfg.average:
+        return LinearModel(coef=state.avg_coef, intercept=state.avg_intercept)
+    return LinearModel(coef=state.coef, intercept=state.intercept)

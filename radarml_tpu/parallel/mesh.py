@@ -1,0 +1,75 @@
+"""Device mesh construction and batch sharding.
+
+The reference is a single-process Raspberry Pi program with no
+distribution at all (SURVEY.md §2.3); this module is the greenfield
+scale-out layer the TPU re-design adds: a named mesh, batch-DP
+shardings for training and batched inference (samples are independent
+— the natural parallel axis of this workload), and replicated params
+with XLA-inserted collectives over ICI.
+
+The mesh is 1-D ('data') by default; `make_mesh` accepts an explicit
+shape for future model axes so call sites don't change when a 'model'
+axis appears.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    shape: Optional[Tuple[int, ...]] = None,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+) -> Mesh:
+    """Build a mesh over the first n_devices (defaults to all).
+
+    With shape given, devices are arranged (data, model, ...); the
+    default is a flat data-parallel mesh.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested {n_devices} devices, only {len(devices)} available"
+        )
+    devices = devices[:n_devices]
+    if shape is None:
+        shape = (n_devices,)
+    if int(np.prod(shape)) != n_devices:
+        raise ValueError(f"mesh shape {shape} != {n_devices} devices")
+    if len(axis_names) != len(shape):
+        axis_names = tuple(axis_names) + tuple(
+            f"axis{i}" for i in range(len(axis_names), len(shape))
+        )
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """device_put arrays with their leading axis split across 'data'."""
+    sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    """device_put a pytree fully replicated across the mesh."""
+    return jax.device_put(tree, replicated(mesh))

@@ -1,0 +1,121 @@
+"""End-to-end predict pipeline vs a reference-formula host oracle."""
+
+import numpy as np
+from scipy import ndimage
+
+from radarml_tpu.core.arena import DEFAULT_ARENA, RADAR_MAX, ProjMask
+from radarml_tpu.data.synthetic import make_dataset, make_scan_batch
+from radarml_tpu.data.labels import LabelEncoder
+from radarml_tpu.ops.features import process_samples
+from radarml_tpu.models.linear import (
+    SGDConfig,
+    calibrate_ovr,
+    sgd_fit,
+    sgd_model,
+)
+from radarml_tpu.models.pipeline import UNKNOWN, RadarPredictor, pad_targets
+
+
+def ref_indices(a, x, y, z):
+    r = np.sqrt(x**2 + y**2 + z**2)
+    phi = np.rad2deg(np.arctan2(y, z))
+    theta = np.rad2deg(np.arcsin(x / r))
+    i = int((theta - a.theta_min) * (a.size_x - 1) / (a.theta_max - a.theta_min))
+    j = int((phi - a.phi_min) * (a.size_y - 1) / (a.phi_max - a.phi_min))
+    k = int((r - a.r_min) * (a.size_z - 1) / (a.r_max - a.r_min))
+    return i, j, k
+
+
+def train_demo_model():
+    samples, labels = make_dataset(150, seed=11)
+    le, y = LabelEncoder.fit_transform(labels)
+    X = process_samples(samples, scale=True).astype(np.float32)
+    cfg = SGDConfig(alpha=1e-5)
+    state = sgd_fit(X[:120], y[:120], n_classes=len(le.classes_), cfg=cfg, epochs=30)
+    model = sgd_model(state, cfg)
+    calib = calibrate_ovr(model, X[120:], y[120:])
+    return model, calib, le
+
+
+def test_predictor_classifies_planted_targets():
+    model, calib, le = train_demo_model()
+    predictor = RadarPredictor(
+        train_arena=DEFAULT_ARENA,
+        scan_arena=DEFAULT_ARENA,
+        model=model,
+        calibration=calib,
+        min_proba=0.5,
+    )
+    cubes, targets = make_scan_batch(16, seed=77)
+    xyz, valid = pad_targets([[(t.x, t.y, t.z)] for t in targets], max_targets=4)
+    pred, best_p, proba = predictor(cubes, xyz, valid)
+    pred = np.asarray(pred)
+    best_p = np.asarray(best_p)
+    # Padded slots must be UNKNOWN.
+    assert (pred[:, 1:] == UNKNOWN).all()
+    want = np.array([list(le.classes_).index(t.label) for t in targets])
+    got = pred[:, 0]
+    known = got != UNKNOWN
+    acc = float((got[known] == want[known]).mean())
+    assert known.mean() > 0.5
+    assert acc > 0.7, (got, want)
+
+
+def test_predictor_feature_path_matches_host_oracle():
+    """The sliced+zoomed+scaled features inside the predictor must equal
+    the reference pipeline's process_samples(scale=True) on host-sliced
+    projections (predict.py:98-116)."""
+    model, calib, le = train_demo_model()
+    a = DEFAULT_ARENA
+    predictor = RadarPredictor(
+        train_arena=a, scan_arena=a, model=model, calibration=calib, min_proba=0.0
+    )
+    cubes, targets = make_scan_batch(4, seed=5)
+    # Jitter targets off exact grid nodes: a position that lands on a
+    # cell boundary is discretization-ambiguous between float32 (device)
+    # and float64 (oracle) index math, which is not a real parity gap.
+    jit_rng = np.random.default_rng(0)
+    jittered = [
+        (t.x + jit_rng.uniform(0.5, 1.5), t.y + jit_rng.uniform(0.5, 1.5),
+         t.z + jit_rng.uniform(0.5, 1.5))
+        for t in targets
+    ]
+    xyz, valid = pad_targets([[p] for p in jittered], max_targets=1)
+    _, _, proba = predictor(cubes, xyz, valid)
+
+    # Host oracle per scan.
+    import jax.numpy as jnp
+    from radarml_tpu.models.linear import predict_proba_calibrated
+
+    for b, p in enumerate(jittered):
+        i, j, k = ref_indices(a, *p)
+        yz = cubes[b, i, :, :]
+        xz = cubes[b, :, j, :]
+        xy = cubes[b, :, :, k]
+        feats = process_samples([(xz, yz, xy)], scale=True)
+        want = np.asarray(
+            predict_proba_calibrated(model, calib, jnp.asarray(feats))
+        )[0]
+        got = np.asarray(proba)[b, 0]
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_predictor_proj_mask_subset():
+    samples, labels = make_dataset(60, seed=2)
+    le, y = LabelEncoder.fit_transform(labels)
+    mask = ProjMask(xz=True, yz=False, xy=True)
+    X = process_samples(samples, proj_mask=mask, scale=True).astype(np.float32)
+    cfg = SGDConfig(alpha=1e-5)
+    state = sgd_fit(X, y, n_classes=3, cfg=cfg, epochs=20)
+    model = sgd_model(state, cfg)
+    predictor = RadarPredictor(
+        train_arena=DEFAULT_ARENA,
+        scan_arena=DEFAULT_ARENA,
+        model=model,
+        proj_mask=mask,
+        min_proba=0.0,
+    )
+    cubes, targets = make_scan_batch(4, seed=6)
+    xyz, valid = pad_targets([[(t.x, t.y, t.z)] for t in targets], max_targets=1)
+    pred, _, _ = predictor(cubes, xyz, valid)
+    assert np.asarray(pred).shape == (4, 1)
