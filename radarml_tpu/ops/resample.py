@@ -106,7 +106,12 @@ def bspline_zoom_matrix(n_in: int, n_out: int) -> np.ndarray:
     if n_out == 1:
         coords = np.array([0.0])
     else:
-        coords = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+        # scipy precomputes the per-axis step (in-1)/(out-1) in float64
+        # and multiplies; the rounding of that product decides whether
+        # the endpoint lands at exactly in-1 or epsilon outside (where
+        # constant mode yields cval=0). Reproduce the same op order.
+        step = np.float64(n_in - 1) / np.float64(n_out - 1)
+        coords = np.arange(n_out, dtype=np.float64) * step
     S = np.zeros((n_out, n_in))
     base = np.floor(coords).astype(int)
     for t in range(-1, 3):
@@ -114,6 +119,10 @@ def bspline_zoom_matrix(n_in: int, n_out: int) -> np.ndarray:
         w = _bspline3(coords - j)
         jj = _mirror_index(j, n_in)
         np.add.at(S, (np.arange(n_out), jj), w)
+    # Constant-mode boundary: coordinates strictly outside [0, n_in-1]
+    # read cval (=0 throughout the reference) instead of the spline.
+    outside = (coords < 0) | (coords > n_in - 1)
+    S[outside] = 0.0
     return S @ _prefilter_matrix(n_in)
 
 
