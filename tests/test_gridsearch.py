@@ -1,0 +1,76 @@
+"""Grid-search harness: sklearn parity of folds/enumeration + end-to-end."""
+
+import numpy as np
+from sklearn import model_selection
+
+from radarml_tpu.train import gridsearch as gs
+
+
+def test_stratified_kfold_matches_sklearn(rng):
+    for n, k, folds in [(37, 3, 5), (60, 2, 5), (24, 4, 3)]:
+        y = rng.integers(0, k, size=n)
+        if len(np.unique(y)) < k:
+            y[:k] = np.arange(k)
+        skf = model_selection.StratifiedKFold(n_splits=folds)
+        want = list(skf.split(np.zeros((n, 1)), y))
+        got = gs.stratified_kfold_indices(y, folds)
+        assert len(want) == len(got)
+        for (wtr, wte), (gtr, gte) in zip(want, got):
+            np.testing.assert_array_equal(wtr, gtr)
+            np.testing.assert_array_equal(wte, gte)
+
+
+def test_stratified_kfold_unsorted_first_appearance(rng):
+    # Classes appearing out of order exercise the encoding path.
+    y = np.array(["dog", "cat", "dog", "person", "cat", "dog",
+                  "person", "cat", "dog", "person", "cat", "dog"])
+    skf = model_selection.StratifiedKFold(n_splits=3)
+    want = list(skf.split(np.zeros((len(y), 1)), y))
+    got = gs.stratified_kfold_indices(y, 3)
+    for (wtr, wte), (gtr, gte) in zip(want, got):
+        np.testing.assert_array_equal(wtr, gtr)
+        np.testing.assert_array_equal(wte, gte)
+
+
+def test_parameter_grid_matches_sklearn_order():
+    grid = [
+        {"alpha": [1e-3, 1e-4], "penalty": ["l1", "l2"], "average": [False]},
+        {"alpha": [1e-5], "penalty": ["elasticnet"], "l1_ratio": [0.1, 0.2]},
+    ]
+    want = list(model_selection.ParameterGrid(grid))
+    got = gs.parameter_grid(grid)
+    assert want == got
+
+
+def _blobs(rng, n=60, k=3, f=10):
+    centers = rng.normal(size=(k, f)) * 3.0
+    y = np.arange(n) % k
+    X = (centers[y] + rng.normal(size=(n, f))).astype(np.float32)
+    return X, y
+
+
+def test_grid_search_sgd_end_to_end(rng):
+    X, y = _blobs(rng)
+    small = [{"alpha": [1e-4, 1e-2], "penalty": ["l2"], "average": [False]}]
+    res = gs.grid_search_sgd(X, y, folds=3, grid=small, epochs=5)
+    assert res.best_score > 0.8
+    model, cfg = res.best_model
+    from radarml_tpu.models.linear import predict
+    acc = (np.asarray(predict(model, X)) == y).mean()
+    assert acc > 0.9
+    assert len(res.cv_results) == 2
+    assert res.best_params["alpha"] in (1e-4, 1e-2)
+
+
+def test_grid_search_svc_end_to_end(rng):
+    X, y = _blobs(rng)
+    small = [
+        {"C": [1.0], "kernel": ["linear"]},
+        {"C": [10.0], "gamma": [0.05], "kernel": ["rbf"]},
+    ]
+    res = gs.grid_search_svc(X, y, folds=3, grid=small, probability=True)
+    assert res.best_score > 0.8
+    from radarml_tpu.models import svc as jsvc
+    proba = np.asarray(jsvc.predict_proba(res.best_model, X))
+    assert proba.shape == (len(y), 3)
+    np.testing.assert_allclose(proba.sum(1), 1.0, atol=1e-5)
