@@ -6,6 +6,16 @@ from radarml_tpu.train.metrics import (
     plot_confusion_matrix,
 )
 from radarml_tpu.train.trainer import TrainConfig, train_cnn, weighted_xent_loss
+from radarml_tpu.train.sgan_trainer import (
+    SGANConfig,
+    SGANState,
+    classifier_eval,
+    generate_fake_dataset,
+    make_sgan_step,
+    select_supervised_samples,
+    sgan_init,
+    train_sgan,
+)
 from radarml_tpu.train.gridsearch import (
     GridSearchResult,
     SGD_PARAM_GRID,
@@ -25,6 +35,14 @@ __all__ = [
     "TrainConfig",
     "train_cnn",
     "weighted_xent_loss",
+    "SGANConfig",
+    "SGANState",
+    "classifier_eval",
+    "generate_fake_dataset",
+    "make_sgan_step",
+    "select_supervised_samples",
+    "sgan_init",
+    "train_sgan",
     "GridSearchResult",
     "SGD_PARAM_GRID",
     "SVC_PARAM_GRID",

@@ -1,0 +1,447 @@
+"""SGAN training schedule: one fused XLA step for the 4-phase update.
+
+Re-design of the reference's training loop (sgan.py:396-543). Each
+reference step issues four Keras `train_on_batch` calls — supervised
+classifier on a labeled half-batch, unsupervised discriminator on real
+(positive labels smoothed into [0.7, 1.2]) and on generated (negative
+smoothed into [0, 0.3]) half-batches, then the stacked GAN on a full
+batch of latents labeled real. Here all four sequential updates compile
+into ONE jitted device program per step; the host only draws batch
+indices.
+
+Faithfully carried Keras semantics:
+
+* three independent Adam(2e-4, β1 0.5, ε 1e-7) optimizers — the same
+  discriminator weight has separate moment estimates under the c- and
+  d-losses, as separately-compiled Keras models do;
+* the GAN phase updates the generator AND the discriminator's
+  BatchNorm scale/bias only (define_gan freezes every non-BN layer,
+  sgan.py:220-225), realized as a gradient mask;
+* fake samples for the d-phase come from the generator in inference
+  mode (`generator.predict`, running BN stats, no stat update), while
+  the GAN phase runs the generator in training mode (batch stats,
+  stats updated) — an easy-to-miss asymmetry of the reference;
+* dropout is live in every phase; discriminator BN uses batch stats in
+  every phase (its layers stay `trainable=True` for c/d and BN stays
+  trainable even in the GAN composite);
+* `class_weight` on the real-d update collapses to a constant scale of
+  w_classes[1] because the smoothed binary targets all round to 1 — we
+  reproduce that as a loss scale (reference sgan.py:528-530).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import pickle
+import time
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from radarml_tpu.models.sgan import (
+    LATENT_DIM,
+    Discriminator,
+    Generator,
+    c_head,
+    custom_activation,
+)
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "SGANConfig",
+    "SGANState",
+    "sgan_init",
+    "make_sgan_step",
+    "train_sgan",
+    "select_supervised_samples",
+    "generate_fake_dataset",
+]
+
+# Native (cols, rows) projection sizes generated fakes are resized back
+# to (reference sgan.py:43-45).
+XZ_SIZE = (176, 22)
+YZ_SIZE = (176, 31)
+XY_SIZE = (31, 22)
+
+
+@dataclasses.dataclass(frozen=True)
+class SGANConfig:
+    n_classes: int = 3
+    latent_dim: int = LATENT_DIM
+    n_epochs: int = 15
+    n_batch: int = 32
+    learning_rate: float = 2e-4
+    beta1: float = 0.5
+    n_sup_samples: int = 150
+    seed: int = 1234
+
+
+class SGANState(NamedTuple):
+    g_params: dict
+    g_stats: dict
+    d_params: dict
+    d_stats: dict
+    c_opt: optax.OptState
+    d_opt: optax.OptState
+    gan_opt: optax.OptState
+
+
+def _adam(cfg: SGANConfig):
+    return optax.adam(cfg.learning_rate, b1=cfg.beta1, eps=1e-7)
+
+
+def _bn_mask(tree) -> dict:
+    """Gradient mask: True only for BatchNorm leaves (Keras freeze rule)."""
+
+    def mark(path, _):
+        return any(
+            isinstance(k, jax.tree_util.DictKey)
+            and str(k.key).startswith("BatchNorm")
+            for k in path
+        )
+
+    return jax.tree_util.tree_map_with_path(mark, tree)
+
+
+def sgan_init(
+    key: jax.Array, cfg: SGANConfig, rescale: Tuple[int, int] = (128, 128)
+) -> Tuple[Generator, Discriminator, SGANState]:
+    if rescale[0] != rescale[1] or rescale[0] % 8:
+        raise ValueError("rescale must be square and 8·2^n")
+    n_up = int(np.log2(rescale[0] // 8))
+    if 8 * 2**n_up != rescale[0]:
+        raise ValueError("rescale side must be 8·2^n")
+    gen = Generator(n_upsamples=n_up)
+    disc = Discriminator(n_classes=cfg.n_classes)
+    kg, kd, kdrop = jax.random.split(key, 3)
+    z = jnp.zeros((1, cfg.latent_dim), jnp.float32)
+    views = tuple(
+        jnp.zeros((1,) + rescale + (1,), jnp.float32) for _ in range(3)
+    )
+    gv = gen.init(kg, z, train=False)
+    dv = disc.init({"params": kd, "dropout": kdrop}, views, train=False)
+    g_params, g_stats = gv["params"], gv.get("batch_stats", {})
+    d_params, d_stats = dv["params"], dv.get("batch_stats", {})
+    adam = _adam(cfg)
+    state = SGANState(
+        g_params=g_params,
+        g_stats=g_stats,
+        d_params=d_params,
+        d_stats=d_stats,
+        c_opt=adam.init(d_params),
+        d_opt=adam.init(d_params),
+        gan_opt=adam.init((g_params, d_params)),
+    )
+    return gen, disc, state
+
+
+def _bce(p: jax.Array, y: jax.Array) -> jax.Array:
+    """Keras binary_crossentropy on probabilities, clipped like Keras."""
+    eps = 1e-7
+    p = jnp.clip(p, eps, 1.0 - eps)
+    return -jnp.mean(y * jnp.log(p) + (1.0 - y) * jnp.log(1.0 - p))
+
+
+def make_sgan_step(
+    gen: Generator, disc: Discriminator, cfg: SGANConfig,
+    real_weight: float = 1.0,
+):
+    """Build the fused 4-phase jitted train step.
+
+    Signature: step(state, sup_views, sup_labels, real_views, key)
+    → (state, losses dict). Views are (B, H, W, 3) stacks split into
+    per-projection (B, H, W, 1) inputs inside.
+    """
+    adam = _adam(cfg)
+
+    def split_views(stack):
+        return tuple(stack[..., i : i + 1] for i in range(3))
+
+    def step(state: SGANState, sup_views, sup_labels, real_views, key):
+        k_cdrop, k_rdrop, k_fdrop, k_gdrop, k_zf, k_zg, k_sm = jax.random.split(
+            key, 7
+        )
+        half = sup_labels.shape[0]
+        full = cfg.n_batch
+
+        # ---- phase 1: supervised classifier on labeled half-batch ----
+        def c_loss_fn(d_params, stats):
+            logits, mut = disc.apply(
+                {"params": d_params, "batch_stats": stats},
+                split_views(sup_views),
+                train=True,
+                rngs={"dropout": k_cdrop},
+                mutable=["batch_stats"],
+            )
+            logp = jax.nn.log_softmax(logits)
+            loss = -jnp.mean(
+                jnp.take_along_axis(logp, sup_labels[:, None], axis=1)
+            )
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == sup_labels).astype(jnp.float32)
+            )
+            return loss, (mut["batch_stats"], acc)
+
+        (c_loss, (d_stats, c_acc)), grads = jax.value_and_grad(
+            c_loss_fn, has_aux=True
+        )(state.d_params, state.d_stats)
+        upd, c_opt = adam.update(grads, state.c_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, upd)
+
+        # ---- phase 2: unsupervised d on real, positive smoothing ----
+        y_real = 1.0 - 0.3 + jax.random.uniform(k_sm, (half, 1)) * 0.5
+
+        def d_real_fn(dp, stats):
+            logits, mut = disc.apply(
+                {"params": dp, "batch_stats": stats},
+                split_views(real_views),
+                train=True,
+                rngs={"dropout": k_rdrop},
+                mutable=["batch_stats"],
+            )
+            p = custom_activation(logits)
+            return real_weight * _bce(p, y_real), mut["batch_stats"]
+
+        (dr_loss, d_stats), grads = jax.value_and_grad(
+            d_real_fn, has_aux=True
+        )(d_params, d_stats)
+        upd, d_opt = adam.update(grads, state.d_opt, d_params)
+        d_params = optax.apply_updates(d_params, upd)
+
+        # ---- phase 3: d on fakes (generator in inference mode) ----
+        z = jax.random.normal(k_zf, (half, cfg.latent_dim))
+        fake = gen.apply(
+            {"params": state.g_params, "batch_stats": state.g_stats},
+            z, train=False,
+        )
+        fake = jax.lax.stop_gradient(jnp.concatenate(fake, axis=-1))
+        y_fake = jax.random.uniform(jax.random.fold_in(k_sm, 1), (half, 1)) * 0.3
+
+        def d_fake_fn(dp, stats):
+            logits, mut = disc.apply(
+                {"params": dp, "batch_stats": stats},
+                split_views(fake),
+                train=True,
+                rngs={"dropout": k_fdrop},
+                mutable=["batch_stats"],
+            )
+            p = custom_activation(logits)
+            return _bce(p, y_fake), mut["batch_stats"]
+
+        (df_loss, d_stats), grads = jax.value_and_grad(
+            d_fake_fn, has_aux=True
+        )(d_params, d_stats)
+        upd, d_opt = adam.update(grads, d_opt, d_params)
+        d_params = optax.apply_updates(d_params, upd)
+
+        # ---- phase 4: generator via the stacked GAN ----
+        z_gan = jax.random.normal(k_zg, (full, cfg.latent_dim))
+        y_gan = 1.0 - 0.3 + jax.random.uniform(
+            jax.random.fold_in(k_sm, 2), (full, 1)
+        ) * 0.5
+
+        def gan_loss_fn(params, g_stats, d_stats):
+            gp, dp = params
+            fake3, gmut = gen.apply(
+                {"params": gp, "batch_stats": g_stats},
+                z_gan, train=True, mutable=["batch_stats"],
+            )
+            logits, dmut = disc.apply(
+                {"params": dp, "batch_stats": d_stats},
+                fake3,
+                train=True,
+                rngs={"dropout": k_gdrop},
+                mutable=["batch_stats"],
+            )
+            p = custom_activation(logits)
+            return _bce(p, y_gan), (gmut["batch_stats"], dmut["batch_stats"])
+
+        (g_loss, (g_stats, d_stats)), grads = jax.value_and_grad(
+            gan_loss_fn, has_aux=True
+        )((state.g_params, d_params), state.g_stats, d_stats)
+        g_grads, d_grads = grads
+        # Freeze everything in the discriminator except BatchNorm.
+        mask = _bn_mask(d_grads)
+        d_grads = jax.tree.map(
+            lambda g, m: g if m else jnp.zeros_like(g), d_grads, mask
+        )
+        upd, gan_opt = adam.update(
+            (g_grads, d_grads), state.gan_opt, (state.g_params, d_params)
+        )
+        g_params, d_params = optax.apply_updates(
+            (state.g_params, d_params), upd
+        )
+
+        new_state = SGANState(
+            g_params=g_params,
+            g_stats=g_stats,
+            d_params=d_params,
+            d_stats=d_stats,
+            c_opt=c_opt,
+            d_opt=d_opt,
+            gan_opt=gan_opt,
+        )
+        losses = {
+            "c_loss": c_loss, "c_acc": c_acc, "d_real": dr_loss,
+            "d_fake": df_loss, "gan": g_loss,
+        }
+        return new_state, losses
+
+    return jax.jit(step)
+
+
+def select_supervised_samples(
+    X: np.ndarray,
+    y: np.ndarray,
+    sup_mask: Optional[np.ndarray],
+    n_samples: int,
+    n_classes: int,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Balanced labeled subset (sgan.py:406-422); with-replacement draw."""
+    if sup_mask is None:
+        sup_mask = np.ones(len(y), bool)
+    n_per = n_samples // n_classes
+    xs, ys = [], []
+    for c in range(n_classes):
+        pool = X[(y == c) & sup_mask]
+        if len(pool) == 0:
+            raise ValueError(f"Not enough class {c} sup samples")
+        ix = rng.integers(0, len(pool), n_per)
+        xs.append(pool[ix])
+        ys.append(np.full(n_per, c))
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def generate_fake_dataset(
+    gen: Generator,
+    g_params,
+    g_stats,
+    n_samples: int,
+    key: jax.Array,
+    latent_dim: int = LATENT_DIM,
+) -> Dict:
+    """Reference summarize_performance data product (sgan.py:457-501):
+    generate fakes, rescale [-1,1]→[0,255], bicubic-resize back to the
+    native projection sizes, package as a reference-format dataset."""
+    from radarml_tpu.core.arena import RADAR_MAX
+    from radarml_tpu.ops.resample import bicubic_pair, resample2d
+
+    z = jax.random.normal(key, (n_samples, latent_dim))
+    xz, yz, xy = gen.apply(
+        {"params": g_params, "batch_stats": g_stats}, z, train=False
+    )
+    outs = []
+    for stack, (cols, rows) in ((xz, XZ_SIZE), (yz, YZ_SIZE), (xy, XY_SIZE)):
+        planes = RADAR_MAX * (stack[..., 0] + 1.0) / 2.0
+        r, c = bicubic_pair(planes.shape[1:], (rows, cols))
+        outs.append(
+            np.asarray(
+                resample2d(planes, jnp.asarray(r, jnp.float32),
+                           jnp.asarray(c, jnp.float32))
+            )
+        )
+    XZ, YZ, XY = outs
+    samples = [(XZ[i], YZ[i], XY[i]) for i in range(n_samples)]
+    return {"samples": samples, "labels": ["generated_data"] * n_samples}
+
+
+def train_sgan(
+    gen: Generator,
+    disc: Discriminator,
+    state: SGANState,
+    train_set: Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]],
+    val_set: Tuple[np.ndarray, np.ndarray],
+    cfg: SGANConfig = SGANConfig(),
+    w_classes: Optional[Dict[int, float]] = None,
+    results_dir: Optional[str] = None,
+    summarize_every: Optional[int] = None,
+    on_summary: Optional[Callable] = None,
+) -> SGANState:
+    """Run the reference schedule: bat_per_epo × n_epochs fused steps,
+    with per-epoch-equivalent evaluation + artifact dump."""
+    X, y, sup = train_set
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    X_sup, y_sup = select_supervised_samples(
+        X, y, sup, cfg.n_sup_samples, cfg.n_classes, rng
+    )
+    bat_per_epo = max(int(X.shape[0] / cfg.n_batch), 1)
+    n_steps = bat_per_epo * cfg.n_epochs
+    half = cfg.n_batch // 2
+    real_weight = float(w_classes.get(1, 1.0)) if w_classes else 1.0
+    step_fn = make_sgan_step(gen, disc, cfg, real_weight=real_weight)
+    every = summarize_every or bat_per_epo
+
+    logger.info(
+        "n_epochs=%d, n_batch=%d, 1/2=%d, b/e=%d, steps=%d",
+        cfg.n_epochs, cfg.n_batch, half, bat_per_epo, n_steps,
+    )
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        six = rng.integers(0, len(y_sup), half)
+        rix = rng.integers(0, X.shape[0], half)
+        key, sk = jax.random.split(key)
+        state, losses = step_fn(
+            state,
+            jnp.asarray(X_sup[six]), jnp.asarray(y_sup[six]),
+            jnp.asarray(X[rix]), sk,
+        )
+        logger.debug(
+            "Training results at step %d: c[%.3f,%.0f], d_r[%.3f], "
+            "d_f[%.3f], g[%.3f]",
+            i + 1, float(losses["c_loss"]), float(losses["c_acc"]) * 100,
+            float(losses["d_real"]), float(losses["d_fake"]),
+            float(losses["gan"]),
+        )
+        if (i + 1) % every == 0:
+            _summarize(
+                i, gen, disc, state, val_set, cfg, results_dir, key, on_summary
+            )
+    logger.info(
+        "%d steps in %.1fs (%.2f steps/s)",
+        n_steps, time.perf_counter() - t0, n_steps / (time.perf_counter() - t0),
+    )
+    return state
+
+
+def classifier_eval(
+    disc: Discriminator, state: SGANState, X: np.ndarray, y: np.ndarray,
+    batch: int = 64,
+) -> float:
+    """Supervised-head accuracy in inference mode."""
+    correct = 0
+    for s in range(0, len(y), batch):
+        xb = jnp.asarray(X[s : s + batch])
+        views = tuple(xb[..., i : i + 1] for i in range(3))
+        logits = disc.apply(
+            {"params": state.d_params, "batch_stats": state.d_stats},
+            views, train=False,
+        )
+        correct += int((np.asarray(logits).argmax(-1) == y[s : s + batch]).sum())
+    return correct / max(len(y), 1)
+
+
+def _summarize(i, gen, disc, state, val_set, cfg, results_dir, key, on_summary):
+    acc = classifier_eval(disc, state, val_set[0], val_set[1])
+    logger.info("Classifier accuracy at step %d: %.2f%%", i + 1, acc * 100)
+    if results_dir:
+        os.makedirs(results_dir, exist_ok=True)
+        data = generate_fake_dataset(
+            gen, state.g_params, state.g_stats, 100, key, cfg.latent_dim
+        )
+        path = os.path.join(results_dir, f"generated_data_{i + 1:04d}.pickle")
+        with open(path, "wb") as fp:
+            pickle.dump(data, fp)
+        ck = os.path.join(results_dir, f"sgan_state_{i + 1:04d}.pickle")
+        with open(ck, "wb") as fp:
+            pickle.dump(jax.tree.map(np.asarray, state._asdict()), fp)
+        logger.info("Saved: %s and %s", path, ck)
+    if on_summary is not None:
+        on_summary(i, acc, state)
