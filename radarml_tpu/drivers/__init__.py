@@ -1,0 +1,32 @@
+from radarml_tpu.drivers.base import (
+    DEFAULT_THRESHOLD,
+    DriverState,
+    RadarDriver,
+    RadarSession,
+    RadarTarget,
+    Status,
+    calibrate,
+)
+from radarml_tpu.drivers.synthetic import ReplayRadar, SyntheticRadar
+from radarml_tpu.drivers.native import (
+    NativeRadar,
+    NativeScanSource,
+    build_library,
+    native_available,
+)
+
+__all__ = [
+    "DEFAULT_THRESHOLD",
+    "DriverState",
+    "RadarDriver",
+    "RadarSession",
+    "RadarTarget",
+    "Status",
+    "calibrate",
+    "ReplayRadar",
+    "SyntheticRadar",
+    "NativeRadar",
+    "NativeScanSource",
+    "build_library",
+    "native_available",
+]
