@@ -1,0 +1,179 @@
+"""Shared CLI plumbing: logging, flags, model artifacts, drivers.
+
+The reference's per-script argparse + logging blocks (train.py:547-638,
+predict.py:133-166, ground_truth_samples.py:474-508) are centralized
+here: same log format string, FileHandler(mode='w') + stdout
+StreamHandler, info/debug level flag.
+
+Model artifacts: the framework saves a self-describing pickle dict
+(`kind` + numpy arrays) instead of sklearn object pickles, and the
+loader also accepts reference-style sklearn pickles
+(CalibratedClassifierCV over SGD, or SVC) for drop-in serving of
+models trained by the original code (reference predict.py:224-227).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import pickle
+import sys
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from radarml_tpu.core.arena import Arena, DEFAULT_ARENA, ProjMask
+from radarml_tpu.data.labels import LabelEncoder
+
+LOG_FORMAT = "%(asctime)s %(name)-12s %(levelname)-8s %(message)s"
+
+logger = logging.getLogger(__name__)
+
+
+def setup_logging(log_file: Optional[str], level: str):
+    handlers: List[logging.Handler] = [logging.StreamHandler(sys.stdout)]
+    if log_file:
+        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+        handlers.append(logging.FileHandler(log_file, mode="w"))
+    logging.basicConfig(
+        format=LOG_FORMAT,
+        level=logging.DEBUG if level == "debug" else logging.INFO,
+        handlers=handlers,
+        force=True,
+    )
+
+
+def add_common_flags(parser: argparse.ArgumentParser):
+    parser.add_argument(
+        "--logging_level", type=str, default="info",
+        help='logging level, "info" or "debug"',
+    )
+
+
+def parse_proj_mask(values: Sequence) -> ProjMask:
+    """Reference flag order is (xz, yz, xy) booleans."""
+    def to_bool(v):
+        if isinstance(v, bool):
+            return v
+        return str(v).lower() not in ("0", "false", "no", "")
+
+    vals = [to_bool(v) for v in values]
+    if len(vals) != 3:
+        raise ValueError("--proj_mask needs exactly 3 values")
+    return ProjMask(*vals)
+
+
+def add_driver_flags(parser: argparse.ArgumentParser):
+    parser.add_argument(
+        "--driver", type=str, default="synthetic",
+        choices=["synthetic", "native", "walabot"],
+        help="radar backend (walabot requires the vendor SDK)",
+    )
+    parser.add_argument(
+        "--scan_period", type=float, default=0.0,
+        help="simulated sensor scan period in seconds",
+    )
+    parser.add_argument("--driver_seed", type=int, default=1234)
+
+
+def build_driver(args, arena: Arena = DEFAULT_ARENA):
+    if args.driver == "synthetic":
+        from radarml_tpu.drivers import SyntheticRadar
+
+        return SyntheticRadar(
+            arena=arena, seed=args.driver_seed,
+            scan_period_s=args.scan_period, max_targets=2,
+        )
+    if args.driver == "native":
+        from radarml_tpu.drivers import NativeRadar
+
+        return NativeRadar(
+            arena=arena, seed=args.driver_seed,
+            scan_period_us=args.scan_period * 1e6,
+        )
+    raise SystemExit(
+        "walabot driver requires the vendor SDK wheel; not present here"
+    )
+
+
+# --------------------------------------------------------------------------
+# Model artifacts
+# --------------------------------------------------------------------------
+
+def save_model(path: str, kind: str, **arrays):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"format": "radarml_tpu.v1", "kind": kind}
+    payload.update(arrays)
+    with open(path, "wb") as fp:
+        pickle.dump(payload, fp)
+
+
+def save_label_encoder(path: str, le: LabelEncoder):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fp:
+        pickle.dump({"format": "radarml_tpu.v1", "classes": list(le.classes_)}, fp)
+
+
+def load_label_encoder(path: str) -> LabelEncoder:
+    with open(path, "rb") as fp:
+        obj = pickle.load(fp)
+    if isinstance(obj, dict) and obj.get("format") == "radarml_tpu.v1":
+        return LabelEncoder(classes_=list(obj["classes"]))
+    # sklearn LabelEncoder pickle (reference artifact)
+    return LabelEncoder(classes_=[str(c) for c in obj.classes_])
+
+
+def load_model(path: str):
+    """Load a scoring model: returns (model, calibration_or_None).
+
+    Accepts this framework's artifact dicts and reference sklearn
+    pickles (CalibratedClassifierCV-over-linear or SVC).
+    """
+    import jax.numpy as jnp
+
+    from radarml_tpu.models.linear import (
+        LinearModel,
+        SigmoidCalibration,
+        from_sklearn_calibrated,
+    )
+    from radarml_tpu.models.svc import SVCModel, from_sklearn_svc
+
+    with open(path, "rb") as fp:
+        obj = pickle.load(fp)
+
+    if isinstance(obj, dict) and obj.get("format") == "radarml_tpu.v1":
+        kind = obj["kind"]
+        if kind == "linear":
+            model = LinearModel(
+                coef=jnp.asarray(obj["coef"]),
+                intercept=jnp.asarray(obj["intercept"]),
+            )
+            calib = None
+            if obj.get("calib_a") is not None:
+                calib = SigmoidCalibration(
+                    a=jnp.asarray(obj["calib_a"]), b=jnp.asarray(obj["calib_b"])
+                )
+            return model, calib
+        if kind == "svc":
+            model = SVCModel(
+                support_vectors=jnp.asarray(obj["support_vectors"]),
+                dual_coef=jnp.asarray(obj["dual_coef"]),
+                intercept=jnp.asarray(obj["intercept"]),
+                n_support=tuple(obj["n_support"]),
+                kernel=obj["kernel"],
+                gamma=float(obj["gamma"]),
+                probA=jnp.asarray(obj["probA"]) if obj.get("probA") is not None else None,
+                probB=jnp.asarray(obj["probB"]) if obj.get("probB") is not None else None,
+            )
+            return model, None
+        raise ValueError(f"unknown model kind {kind!r}")
+
+    # Reference sklearn pickles.
+    cls = type(obj).__name__
+    if cls == "CalibratedClassifierCV":
+        return from_sklearn_calibrated(obj)
+    if cls == "SVC":
+        return from_sklearn_svc(obj), None
+    raise ValueError(f"unrecognized model artifact {cls!r} in {path}")

@@ -1,0 +1,123 @@
+"""CLI: real-time radar target classification.
+
+Mirror of the reference's predict.py entry point (predict.py:133-229):
+bring up a radar session, load the pickled model + label encoder, and
+loop Trigger → GetSensorTargets → GetRawImage → classify, logging each
+prediction and falling back to "Unknown" below --min_proba.
+
+The classify stage is the batched jitted RadarPredictor program
+(models/pipeline.py): slicing, zoom, feature build and calibrated
+scoring fuse into one device program, optionally micro-batching
+--batch_scans scans per device call for throughput (the reference
+classifies one target at a time in Python at ~8-10 ms each,
+predict.log; a single TPU program amortizes to microseconds).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import numpy as np
+
+from radarml_tpu.apps.common_cli import (
+    add_common_flags,
+    add_driver_flags,
+    build_driver,
+    load_label_encoder,
+    load_model,
+    parse_proj_mask,
+    setup_logging,
+)
+from radarml_tpu.core.arena import DEFAULT_ARENA
+from radarml_tpu.drivers import RadarSession
+from radarml_tpu.models.pipeline import RadarPredictor, UNKNOWN, pad_targets
+
+logger = logging.getLogger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--min_proba", type=float, default=0.7,
+                   help="minimum prediction probability")
+    p.add_argument("--svm_model", type=str,
+                   default="train-results/svm_radar_classifier.pickle")
+    p.add_argument("--label_encoder", type=str,
+                   default="train-results/radar_labels.pickle")
+    p.add_argument("--proj_mask", nargs="+", default=[True, True, True],
+                   help="projection mask (xz, yz, xy)")
+    p.add_argument("--num_scans", type=int, default=0,
+                   help="stop after N scans (0 = run forever)")
+    p.add_argument("--batch_scans", type=int, default=1,
+                   help="scans per device call")
+    p.add_argument("--max_targets", type=int, default=4)
+    p.add_argument("--log_file", type=str, default="predict.log")
+    add_driver_flags(p)
+    add_common_flags(p)
+    return p
+
+
+def main(argv=None) -> list:
+    args = build_parser().parse_args(argv)
+    setup_logging(args.log_file, args.logging_level)
+
+    model, calib = load_model(args.svm_model)
+    le = load_label_encoder(args.label_encoder)
+    logger.info("Loaded model from %s; classes: %s",
+                args.svm_model, list(le.classes_))
+
+    arena = DEFAULT_ARENA
+    predictor = RadarPredictor(
+        train_arena=arena,
+        scan_arena=arena,
+        model=model,
+        calibration=calib,
+        proj_mask=parse_proj_mask(args.proj_mask),
+        min_proba=args.min_proba,
+    )
+
+    driver = build_driver(args, arena)
+    results = []
+    scans = 0
+    try:
+        with RadarSession(driver) as radar:
+            while args.num_scans == 0 or scans < args.num_scans:
+                cubes, target_lists = [], []
+                for _ in range(args.batch_scans):
+                    radar.trigger()
+                    targets = radar.get_sensor_targets()
+                    scans += 1
+                    if not targets:
+                        logger.debug("No targets.")
+                        continue
+                    cubes.append(radar.get_raw_image())
+                    target_lists.append([(t.x, t.y, t.z) for t in targets])
+                if not cubes:
+                    continue
+                xyz, valid = pad_targets(target_lists, args.max_targets)
+                t0 = time.perf_counter()
+                pred, proba, _ = predictor(np.stack(cubes), xyz, valid)
+                pred = np.asarray(pred)
+                proba = np.asarray(proba)
+                dt_ms = (time.perf_counter() - t0) * 1e3
+                for b in range(pred.shape[0]):
+                    for t in range(pred.shape[1]):
+                        if not valid[b, t]:
+                            continue
+                        if pred[b, t] == UNKNOWN:
+                            name = "Unknown"
+                        else:
+                            name = le.classes_[int(pred[b, t])]
+                        logger.info(
+                            "Detected %s with proba %.3f (%.2f ms/batch)",
+                            name, float(proba[b, t]), dt_ms,
+                        )
+                        results.append((name, float(proba[b, t])))
+    except KeyboardInterrupt:
+        logger.info("Caught KeyboardInterrupt, shutting down radar.")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,9 @@ class RadarPredictor:
 
         model, calib = self.model, self.calibration
         min_proba = self.min_proba
+        is_svc = type(model).__name__ == "SVCModel"
+        if is_svc:
+            from radarml_tpu.models import svc as _svc
         p = jax.lax.Precision.HIGHEST
 
         def per_target(cube, xyz):
@@ -100,7 +103,9 @@ class RadarPredictor:
         def predict_batch(cubes, target_xyz, target_valid):
             B, T = target_xyz.shape[:2]
             feats = feat_fn(cubes, target_xyz).reshape(B * T, -1)
-            if calib is not None:
+            if is_svc:
+                proba = _svc.predict_proba(model, feats)
+            elif calib is not None:
                 proba = predict_proba_calibrated(model, calib, feats)
             else:
                 proba = predict_proba_log_loss(model, feats)

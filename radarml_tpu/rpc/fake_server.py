@@ -46,11 +46,14 @@ class FakeDetectionServer:
 
     script: list of detection frames; each GetDetectedObjects pops one.
     cycle=False repeats the final frame forever; drained+sentinel=True
-    answers with the empty-label sentinel instead.
+    answers with the empty-label sentinel instead. A *callable* script
+    is invoked per request with the desired labels — the hook that lets
+    a synthetic radar driver feed "camera" detections of its own
+    planted targets through the real gRPC loopback.
     """
 
     camera: CameraInfo = DEFAULT_CAMERA
-    script: Sequence[List[Detection]] = ()
+    script: object = ()
     cycle: bool = False
     sentinel_when_drained: bool = True
 
@@ -63,6 +66,15 @@ class FakeDetectionServer:
 
     # -- scripted behavior -------------------------------------------------
     def _next_frame(self, desired: Sequence[str]) -> List[Detection]:
+        if callable(self.script):
+            with self._lock:
+                self.calls += 1
+            frame = self.script(desired)
+            if desired:
+                frame = [
+                    d for d in frame if d.label in desired or d.label == ""
+                ]
+            return frame
         with self._lock:
             self.calls += 1
             script = list(self.script)

@@ -1,0 +1,123 @@
+"""CLI apps: train → predict → capture → visualize, hardware-free."""
+
+import os
+import pickle
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("apps")
+    cwd = os.getcwd()
+    os.chdir(d)
+    yield d
+    os.chdir(cwd)
+
+
+@pytest.fixture(scope="module")
+def trained(workdir):
+    from radarml_tpu.apps import train as train_app
+
+    out = train_app.main(
+        [
+            "--synthetic", "45",
+            "--datasets", "ds.pickle",
+            "--grid_epochs", "8",
+            "--folds", "3",
+        ]
+    )
+    return out
+
+
+def test_train_app_artifacts(workdir, trained):
+    assert os.path.exists("train-results/svm_radar_classifier.pickle")
+    assert os.path.exists("train-results/radar_labels.pickle")
+    assert os.path.exists("train-results/svm_cm.png")
+    assert os.path.exists("train-results/train.log")
+    with open("train-results/svm_radar_classifier.pickle", "rb") as fp:
+        obj = pickle.load(fp)
+    assert obj["format"] == "radarml_tpu.v1" and obj["kind"] == "linear"
+    assert 0.0 <= trained["metrics"]["accuracy"] <= 1.0
+
+
+def test_predict_app_runs(workdir, trained):
+    from radarml_tpu.apps import predict as predict_app
+
+    results = predict_app.main(
+        ["--num_scans", "4", "--min_proba", "0.0", "--logging_level", "info"]
+    )
+    assert results  # at least one target classified
+    names = {n for n, _ in results}
+    assert names <= {"person", "dog", "cat", "Unknown"}
+    for _, p in results:
+        assert 0.0 <= p <= 1.0
+
+
+def test_capture_and_visualize_apps(workdir):
+    from radarml_tpu.apps import ground_truth_samples as gts_app
+    from radarml_tpu.apps import visualize as vis_app
+
+    n = gts_app.main(
+        [
+            "--num_samples", "3",
+            "--max_scans", "30",
+            "--dataset", "captured.pickle",
+        ]
+    )
+    assert n == 3
+    with open("captured.pickle", "rb") as fp:
+        data = pickle.load(fp)
+    assert len(data["labels"]) == 3
+
+    # append semantics: capturing again grows the same pickle
+    n2 = gts_app.main(
+        [
+            "--num_samples", "2",
+            "--max_scans", "30",
+            "--dataset", "captured.pickle",
+            "--driver_seed", "7",
+        ]
+    )
+    with open("captured.pickle", "rb") as fp:
+        data = pickle.load(fp)
+    assert len(data["labels"]) == 3 + n2
+
+    vis_app.main(["--dataset", "captured.pickle", "--out_png", "s.png"])
+    assert os.path.getsize("s.png") > 10_000
+
+
+def test_model_artifact_round_trip_svc(workdir):
+    """SVC-kind artifacts load back into a scoring model."""
+    from radarml_tpu.apps.common_cli import load_model, save_model
+    from radarml_tpu.models import svc as jsvc
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(60, 8)).astype(np.float32)
+    y = np.arange(60) % 2
+    X[y == 1] += 2.0
+    model = jsvc.svc_fit(
+        X, y, jsvc.SVCConfig(C=1.0, gamma=0.1, probability=True)
+    )
+    save_model(
+        "svc.pickle", "svc",
+        support_vectors=np.asarray(model.support_vectors),
+        dual_coef=np.asarray(model.dual_coef),
+        intercept=np.asarray(model.intercept),
+        n_support=list(model.n_support),
+        kernel=model.kernel, gamma=model.gamma,
+        probA=np.asarray(model.probA), probB=np.asarray(model.probB),
+        classes=["a", "b"],
+    )
+    loaded, calib = load_model("svc.pickle")
+    assert calib is None
+    np.testing.assert_allclose(
+        np.asarray(jsvc.predict_proba(loaded, X[:5])),
+        np.asarray(jsvc.predict_proba(model, X[:5])),
+        atol=1e-6,
+    )
