@@ -19,6 +19,7 @@ Prints exactly one JSON line:
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -50,13 +51,22 @@ def main():
     model = sgd_model(state, cfg)
     calib = calibrate_ovr(model, X[70:], y[70:])
 
-    predictor = RadarPredictor(
+    kw = dict(
         train_arena=DEFAULT_ARENA,
         scan_arena=DEFAULT_ARENA,
         model=model,
         calibration=calib,
         min_proba=0.7,
     )
+    # Exact mode reproduces the reference math stage-by-stage; fast
+    # mode folds the linear pipeline into native-resolution templates
+    # (models/pipeline.py _folded_templates) — same predictions, one
+    # matvec per target.
+    predictors = {
+        "exact": RadarPredictor(mode="exact", **kw),
+        "fast": RadarPredictor(mode="fast", **kw),
+        "pallas": RadarPredictor(mode="pallas", **kw),
+    }
 
     # --- benchmark input: batch of scans, 4 target slots each ------------
     BATCH = 512
@@ -69,18 +79,24 @@ def main():
     xyz = jax.device_put(xyz_np)
     valid = jax.device_put(valid_np)
 
-    # Warmup / compile.
-    pred, best_p, _ = predictor(cubes, xyz, valid)
-    jax.block_until_ready((pred, best_p))
-
-    # --- throughput -------------------------------------------------------
     ITERS = 30
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        pred, best_p, _ = predictor(cubes, xyz, valid)
-    jax.block_until_ready((pred, best_p))
-    dt = time.perf_counter() - t0
-    scans_per_sec = BATCH * ITERS / dt
+    rates = {}
+    for name, predictor in predictors.items():
+        try:
+            pred, best_p, _ = predictor(cubes, xyz, valid)  # warmup/compile
+            jax.block_until_ready((pred, best_p))
+        except Exception as e:  # keep the bench robust to kernel regressions
+            print(f"# mode {name} failed: {type(e).__name__}", file=sys.stderr)
+            continue
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            pred, best_p, _ = predictor(cubes, xyz, valid)
+        jax.block_until_ready((pred, best_p))
+        rates[name] = BATCH * ITERS / (time.perf_counter() - t0)
+
+    best_mode = max(rates, key=rates.get)
+    scans_per_sec = rates[best_mode]
+    predictor = predictors[best_mode]
 
     # --- single-scan p50 latency ------------------------------------------
     c1, x1, v1 = cubes[:1], xyz[:1], valid[:1]
@@ -103,6 +119,8 @@ def main():
                 "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 1),
                 "p50_single_scan_ms": round(p50_ms, 3),
                 "batch": BATCH,
+                "mode": best_mode,
+                **{f"scans_per_sec_{k}": round(v, 1) for k, v in rates.items()},
                 "max_targets": MAX_TARGETS,
                 "device": str(jax.devices()[0]),
             }

@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scans per device call")
     p.add_argument("--max_targets", type=int, default=4)
     p.add_argument("--log_file", type=str, default="predict.log")
+    p.add_argument("--mode", type=str, default="exact",
+                   choices=["exact", "fast", "pallas"],
+                   help="scoring path: exact reference math, folded "
+                        "templates, or the fused Pallas kernel")
+    p.add_argument("--profile", type=str, default="",
+                   help="write a jax.profiler device trace to this dir")
     add_driver_flags(p)
     add_common_flags(p)
     return p
@@ -75,31 +81,40 @@ def main(argv=None) -> list:
         calibration=calib,
         proj_mask=parse_proj_mask(args.proj_mask),
         min_proba=args.min_proba,
+        mode=args.mode,
     )
 
+    from radarml_tpu.utils import RateMeter, StageTimer, device_trace
+
+    timer = StageTimer()
+    meter = RateMeter()
     driver = build_driver(args, arena)
     results = []
     scans = 0
     try:
-        with RadarSession(driver) as radar:
+        with device_trace(args.profile), RadarSession(driver) as radar:
             while args.num_scans == 0 or scans < args.num_scans:
                 cubes, target_lists = [], []
                 for _ in range(args.batch_scans):
-                    radar.trigger()
-                    targets = radar.get_sensor_targets()
+                    with timer("trigger"):
+                        radar.trigger()
+                        targets = radar.get_sensor_targets()
                     scans += 1
                     if not targets:
                         logger.debug("No targets.")
                         continue
-                    cubes.append(radar.get_raw_image())
+                    with timer("read_image"):
+                        cubes.append(radar.get_raw_image())
                     target_lists.append([(t.x, t.y, t.z) for t in targets])
                 if not cubes:
                     continue
                 xyz, valid = pad_targets(target_lists, args.max_targets)
                 t0 = time.perf_counter()
-                pred, proba, _ = predictor(np.stack(cubes), xyz, valid)
-                pred = np.asarray(pred)
-                proba = np.asarray(proba)
+                with timer("classify"):
+                    pred, proba, _ = predictor(np.stack(cubes), xyz, valid)
+                    pred = np.asarray(pred)
+                    proba = np.asarray(proba)
+                meter.tick(len(cubes))
                 dt_ms = (time.perf_counter() - t0) * 1e3
                 for b in range(pred.shape[0]):
                     for t in range(pred.shape[1]):
@@ -116,6 +131,8 @@ def main(argv=None) -> list:
                         results.append((name, float(proba[b, t])))
     except KeyboardInterrupt:
         logger.info("Caught KeyboardInterrupt, shutting down radar.")
+    logger.info("Scan rate (EMA): %.1f scans/s", meter.rate)
+    timer.log_summary()
     return results
 
 

@@ -65,15 +65,13 @@ def predict(model: LinearModel, X: jax.Array) -> jax.Array:
     return jnp.argmax(df, axis=1).astype(jnp.int32)
 
 
-def predict_proba_log_loss(model: LinearModel, X: jax.Array) -> jax.Array:
-    """Probabilities with sklearn SGDClassifier(loss='log') semantics.
+def proba_from_decision(df: jax.Array) -> jax.Array:
+    """OvA margins → probabilities, SGDClassifier(loss='log') semantics.
 
-    Multiclass: per-class sigmoid of the OvA margin, normalized to sum
-    one (uniform when all sigmoids underflow to zero). Binary: plain
-    sigmoid (reference predict.py:60 relies on this contract).
+    Multiclass: per-class sigmoid normalized to sum one (uniform when
+    all sigmoids underflow). Binary (one column): plain sigmoid pair.
     """
-    df = decision_function(model, X)
-    if model.coef.shape[0] == 1:
+    if df.shape[1] == 1:
         p1 = jax.nn.sigmoid(df[:, 0])
         return jnp.stack([1.0 - p1, p1], axis=1)
     prob = jax.nn.sigmoid(df)
@@ -82,23 +80,32 @@ def predict_proba_log_loss(model: LinearModel, X: jax.Array) -> jax.Array:
     return jnp.where(total > 0, prob / jnp.where(total > 0, total, 1.0), uniform)
 
 
-def predict_proba_calibrated(
-    model: LinearModel, calib: SigmoidCalibration, X: jax.Array
+def calibrated_from_decision(
+    df: jax.Array, calib: SigmoidCalibration
 ) -> jax.Array:
-    """CalibratedClassifierCV(cv='prefit', sigmoid) semantics.
-
-    Each OvR margin runs through its own fitted sigmoid; multiclass
-    probabilities renormalize, binary fills the complement column.
-    This is the exact function the reference's saved model evaluates at
-    predict time (train.py:722-724 + predict.py:60).
-    """
-    df = decision_function(model, X)
+    """OvR margins → calibrated probabilities (prefit-sigmoid
+    CalibratedClassifierCV semantics)."""
     p = 1.0 / (1.0 + jnp.exp(calib.a * df + calib.b))
-    if model.coef.shape[0] == 1:
+    if df.shape[1] == 1:
         return jnp.concatenate([1.0 - p, p], axis=1)
     total = p.sum(axis=1, keepdims=True)
     uniform = jnp.full_like(p, 1.0 / p.shape[1])
     return jnp.where(total > 0, p / jnp.where(total > 0, total, 1.0), uniform)
+
+
+def predict_proba_log_loss(model: LinearModel, X: jax.Array) -> jax.Array:
+    """Probabilities with sklearn SGDClassifier(loss='log') semantics
+    (reference predict.py:60 relies on this contract)."""
+    return proba_from_decision(decision_function(model, X))
+
+
+def predict_proba_calibrated(
+    model: LinearModel, calib: SigmoidCalibration, X: jax.Array
+) -> jax.Array:
+    """CalibratedClassifierCV(cv='prefit', sigmoid) semantics — the
+    exact function the reference's saved model evaluates at predict
+    time (train.py:722-724 + predict.py:60)."""
+    return calibrated_from_decision(decision_function(model, X), calib)
 
 
 def fit_sigmoid_calibration(

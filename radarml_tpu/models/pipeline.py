@@ -30,8 +30,10 @@ from radarml_tpu.ops.resample import spline_zoom_pair
 from radarml_tpu.models.linear import (
     LinearModel,
     SigmoidCalibration,
+    calibrated_from_decision,
     predict_proba_calibrated,
     predict_proba_log_loss,
+    proba_from_decision,
 )
 
 UNKNOWN = -1  # prediction index when below min_proba (the "Unknown" label)
@@ -53,9 +55,161 @@ class RadarPredictor:
     calibration: Optional[SigmoidCalibration] = None
     proj_mask: ProjMask = ProjMask(True, True, True)
     min_proba: float = 0.7
+    mode: str = "exact"  # "exact" | "fast" (folded templates, linear only)
 
     def __post_init__(self):
-        object.__setattr__(self, "_fn", self._build())
+        is_linear = type(self.model).__name__ == "LinearModel"
+        if self.mode == "pallas" and is_linear:
+            object.__setattr__(self, "_fn", self._build_pallas())
+        elif self.mode == "fast" and is_linear:
+            object.__setattr__(self, "_fn", self._build_folded())
+        else:
+            object.__setattr__(self, "_fn", self._build())
+
+    def _folded_templates(self):
+        """Fold zoom matrices + /255 scale + linear weights into
+        per-class templates at the scan's NATIVE plane resolution.
+
+        The per-target pipeline slice→zoom→flatten→concat→scale→score
+        is linear in the raw planes, so for each plane p with zoom
+        operators R_p, C_p and weight block W_c^p (reshaped to the
+        zoomed plane), decision contributions collapse to
+        ⟨R_pᵀ W_c^p C_p, X_p⟩ / RADAR_MAX. One (C, F_native) template
+        matrix replaces all resampling matmuls — the per-target cost
+        becomes a single matvec on the raw slices.
+        """
+        scan = self.scan_arena
+        zoom = predict_zoom(self.train_arena, scan)
+        coef = np.asarray(self.model.coef, np.float64)
+        C = coef.shape[0]
+        parts = []
+        off = 0
+        for shape, z, keep in zip(
+            (scan.xz_shape, scan.yz_shape, scan.xy_shape), zoom, self.proj_mask
+        ):
+            if not keep:
+                continue
+            r, c, (o_h, o_w) = spline_zoom_pair(tuple(shape), tuple(z))
+            W = coef[:, off : off + o_h * o_w].reshape(C, o_h, o_w)
+            A = np.einsum("oh,cop,pw->chw", r, W, c) / RADAR_MAX
+            parts.append(A.reshape(C, -1))
+            off += o_h * o_w
+        templates = np.concatenate(parts, axis=1).astype(np.float32)
+        return templates  # (C, F_native)
+
+    def _build_folded(self) -> Callable:
+        scan = self.scan_arena
+        templates = jnp.asarray(self._folded_templates())
+        intercept = self.model.intercept
+        calib = self.calibration
+        min_proba = self.min_proba
+        proj_mask = self.proj_mask
+        p = jax.lax.Precision.HIGHEST
+
+        def per_target_native(cube, xyz):
+            i, j, k = scan.clamped_matrix_indices(xyz[0], xyz[1], xyz[2])
+            parts = []
+            if proj_mask[0]:
+                parts.append(
+                    jax.lax.dynamic_index_in_dim(cube, j, 1, keepdims=False)
+                    .reshape(-1)
+                )
+            if proj_mask[1]:
+                parts.append(
+                    jax.lax.dynamic_index_in_dim(cube, i, 0, keepdims=False)
+                    .reshape(-1)
+                )
+            if proj_mask[2]:
+                parts.append(
+                    jax.lax.dynamic_index_in_dim(cube, k, 2, keepdims=False)
+                    .reshape(-1)
+                )
+            return jnp.concatenate(parts)
+
+        feat_fn = jax.vmap(
+            jax.vmap(per_target_native, in_axes=(None, 0)), in_axes=(0, 0)
+        )
+
+        @jax.jit
+        def predict_batch(cubes, target_xyz, target_valid):
+            B, T = target_xyz.shape[:2]
+            native = feat_fn(cubes, target_xyz).reshape(B * T, -1)
+            dec = (
+                jnp.einsum("nf,cf->nc", native, templates, precision=p)
+                + intercept[None, :]
+            )
+            if calib is not None:
+                proba = calibrated_from_decision(dec, calib)
+            else:
+                proba = proba_from_decision(dec)
+            proba = proba.reshape(B, T, -1)
+            best = jnp.argmax(proba, axis=-1).astype(jnp.int32)
+            best_p = jnp.max(proba, axis=-1)
+            pred = jnp.where(best_p >= min_proba, best, UNKNOWN)
+            pred = jnp.where(target_valid, pred, UNKNOWN)
+            return pred, best_p, proba
+
+        return predict_batch
+
+    def _build_pallas(self) -> Callable:
+        """Folded templates + the fused Pallas scan→scores kernel.
+
+        Streams each cube through VMEM exactly once (ops/pallas_score);
+        requires all three projections (the kernel contracts all
+        planes) and a TPU backend — pass interpret-mode only in tests.
+        """
+        if not all(self.proj_mask):
+            raise ValueError("pallas mode requires the full ProjMask")
+        from radarml_tpu.ops.pallas_score import fused_native_score
+
+        scan = self.scan_arena
+        templates = self._folded_templates()
+        C = templates.shape[0]
+        n_xz = scan.size_x * scan.size_z
+        n_yz = scan.size_y * scan.size_z
+        t_xz = jnp.asarray(
+            templates[:, :n_xz].reshape(C, scan.size_x, scan.size_z)
+        )
+        t_yz = jnp.asarray(
+            templates[:, n_xz : n_xz + n_yz].reshape(
+                C, scan.size_y, scan.size_z
+            )
+        )
+        t_xy = jnp.asarray(
+            templates[:, n_xz + n_yz :].reshape(C, scan.size_x, scan.size_y)
+        )
+        intercept = self.model.intercept
+        calib = self.calibration
+        min_proba = self.min_proba
+        interpret = jax.default_backend() != "tpu"
+
+        idx_fn = jax.vmap(
+            jax.vmap(
+                lambda xyz: jnp.stack(
+                    scan.clamped_matrix_indices(xyz[0], xyz[1], xyz[2])
+                )
+            )
+        )
+
+        @jax.jit
+        def predict_batch(cubes, target_xyz, target_valid):
+            B, T = target_xyz.shape[:2]
+            ijk = idx_fn(target_xyz).astype(jnp.int32)
+            dec = fused_native_score(
+                cubes, ijk, t_xz, t_yz, t_xy, intercept, interpret=interpret
+            ).reshape(B * T, C)
+            if calib is not None:
+                proba = calibrated_from_decision(dec, calib)
+            else:
+                proba = proba_from_decision(dec)
+            proba = proba.reshape(B, T, -1)
+            best = jnp.argmax(proba, axis=-1).astype(jnp.int32)
+            best_p = jnp.max(proba, axis=-1)
+            pred = jnp.where(best_p >= min_proba, best, UNKNOWN)
+            pred = jnp.where(target_valid, pred, UNKNOWN)
+            return pred, best_p, proba
+
+        return predict_batch
 
     def _build(self) -> Callable:
         train, scan = self.train_arena, self.scan_arena

@@ -119,3 +119,90 @@ def test_predictor_proj_mask_subset():
     xyz, valid = pad_targets([[(t.x, t.y, t.z)] for t in targets], max_targets=1)
     pred, _, _ = predictor(cubes, xyz, valid)
     assert np.asarray(pred).shape == (4, 1)
+
+
+def test_fast_folded_mode_matches_exact(rng):
+    """The folded-template path is algebraically identical to the
+    exact path; decisions agree to float tolerance and predictions
+    (argmax + threshold) agree exactly on non-marginal probabilities."""
+    import jax.numpy as jnp
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+    from radarml_tpu.models.pipeline import RadarPredictor
+
+    n_classes = 3
+    F = DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(n_classes, F)) * 0.01, jnp.float32),
+        intercept=jnp.asarray(rng.normal(size=(n_classes,)), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((n_classes,), jnp.float32),
+        b=jnp.zeros((n_classes,), jnp.float32),
+    )
+    kw = dict(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib, min_proba=0.5,
+    )
+    exact = RadarPredictor(mode="exact", **kw)
+    fast = RadarPredictor(mode="fast", **kw)
+
+    B, T = 4, 3
+    cubes = jnp.asarray(
+        rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255, jnp.float32
+    )
+    xyz = jnp.asarray(rng.uniform(-30, 30, size=(B, T, 3)), jnp.float32)
+    xyz = xyz.at[..., 2].set(jnp.abs(xyz[..., 2]) + 60.0)
+    valid = jnp.asarray(rng.random((B, T)) > 0.3)
+
+    pe, pbe, proba_e = exact(cubes, xyz, valid)
+    pf, pbf, proba_f = fast(cubes, xyz, valid)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(proba_f), np.asarray(proba_e), atol=2e-4
+    )
+    np.testing.assert_array_equal(np.asarray(pf), np.asarray(pe))
+
+
+def test_pallas_mode_matches_exact(rng):
+    """Pallas fused kernel (interpret mode on CPU) == exact path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+    from radarml_tpu.models.pipeline import RadarPredictor
+
+    n_classes = 3
+    F = DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(n_classes, F)) * 0.01, jnp.float32),
+        intercept=jnp.asarray(rng.normal(size=(n_classes,)), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((n_classes,), jnp.float32),
+        b=jnp.zeros((n_classes,), jnp.float32),
+    )
+    kw = dict(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib, min_proba=0.5,
+    )
+    exact = RadarPredictor(mode="exact", **kw)
+    pallas = RadarPredictor(mode="pallas", **kw)
+
+    B, T = 3, 2
+    cubes = jnp.asarray(
+        rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255, jnp.float32
+    )
+    xyz = jnp.asarray(rng.uniform(-30, 30, size=(B, T, 3)), jnp.float32)
+    xyz = xyz.at[..., 2].set(jnp.abs(xyz[..., 2]) + 60.0)
+    valid = jnp.ones((B, T), dtype=bool)
+
+    pe, _, proba_e = exact(cubes, xyz, valid)
+    pp, _, proba_p = pallas(cubes, xyz, valid)
+    np.testing.assert_allclose(
+        np.asarray(proba_p), np.asarray(proba_e), atol=2e-4
+    )
+    np.testing.assert_array_equal(np.asarray(pp), np.asarray(pe))
