@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--rescale", type=int, default=SGAN_RESCALE[0],
                    help="square training resolution, 8·2^n")
+    p.add_argument("--checkpoint_dir", type=str, default="",
+                   help="orbax checkpoint directory (enables mid-run saves)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint")
     add_common_flags(p)
     return p
 
@@ -103,6 +107,8 @@ def main(argv=None) -> dict:
         cfg,
         w_classes=pre["w_classes"],
         results_dir=args.results_dir,
+        checkpoint_dir=args.checkpoint_dir or None,
+        resume=args.resume,
     )
     return {"state": state, "classes": list(pre["label_encoder"].classes_)}
 

@@ -55,7 +55,8 @@ class RadarPredictor:
     calibration: Optional[SigmoidCalibration] = None
     proj_mask: ProjMask = ProjMask(True, True, True)
     min_proba: float = 0.7
-    mode: str = "exact"  # "exact" | "fast" (folded templates, linear only)
+    mode: str = "exact"  # "exact" | "fast" | "pallas" (linear-only fast paths)
+    mesh: object = None  # optional jax Mesh: shard scans over 'data'
 
     def __post_init__(self):
         is_linear = type(self.model).__name__ == "LinearModel"
@@ -293,6 +294,12 @@ class RadarPredictor:
         target_xyz = jnp.asarray(target_xyz, dtype=jnp.float32)
         if target_valid is None:
             target_valid = jnp.ones(target_xyz.shape[:2], dtype=bool)
+        if self.mesh is not None:
+            from radarml_tpu.parallel.mesh import shard_batch
+
+            cubes, target_xyz, target_valid = shard_batch(
+                self.mesh, cubes, target_xyz, target_valid
+            )
         return self._fn(cubes, target_xyz, target_valid)
 
 

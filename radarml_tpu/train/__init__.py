@@ -6,6 +6,7 @@ from radarml_tpu.train.metrics import (
     plot_confusion_matrix,
 )
 from radarml_tpu.train.trainer import TrainConfig, train_cnn, weighted_xent_loss
+from radarml_tpu.train.checkpoint import CheckpointStore
 from radarml_tpu.train.sgan_trainer import (
     SGANConfig,
     SGANState,
@@ -35,6 +36,7 @@ __all__ = [
     "TrainConfig",
     "train_cnn",
     "weighted_xent_loss",
+    "CheckpointStore",
     "SGANConfig",
     "SGANState",
     "classifier_eval",

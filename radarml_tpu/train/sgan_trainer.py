@@ -363,9 +363,17 @@ def train_sgan(
     results_dir: Optional[str] = None,
     summarize_every: Optional[int] = None,
     on_summary: Optional[Callable] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> SGANState:
     """Run the reference schedule: bat_per_epo × n_epochs fused steps,
-    with per-epoch-equivalent evaluation + artifact dump."""
+    with per-epoch-equivalent evaluation + artifact dump.
+
+    With `checkpoint_dir`, full state (both nets + all three optimizer
+    states) checkpoints every summarize interval via orbax; `resume`
+    restores the latest checkpoint and continues mid-run — a capability
+    the reference lacks (SURVEY.md §5 "no mid-run restore logic").
+    """
     X, y, sup = train_set
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
@@ -379,12 +387,28 @@ def train_sgan(
     step_fn = make_sgan_step(gen, disc, cfg, real_weight=real_weight)
     every = summarize_every or bat_per_epo
 
+    store = None
+    start_step = 0
+    if checkpoint_dir:
+        from radarml_tpu.train.checkpoint import CheckpointStore
+
+        store = CheckpointStore(checkpoint_dir)
+        if resume and store.latest_step() is not None:
+            start_step, state, _ = store.restore(template=state)
+            state = jax.tree.map(jnp.asarray, state)
+            # Re-derive the host RNG/key streams to their position.
+            for _ in range(start_step):
+                rng.integers(0, len(y_sup), half)
+                rng.integers(0, X.shape[0], half)
+                key, _ = jax.random.split(key)
+            logger.info("resumed from checkpoint step %d", start_step)
+
     logger.info(
         "n_epochs=%d, n_batch=%d, 1/2=%d, b/e=%d, steps=%d",
         cfg.n_epochs, cfg.n_batch, half, bat_per_epo, n_steps,
     )
     t0 = time.perf_counter()
-    for i in range(n_steps):
+    for i in range(start_step, n_steps):
         six = rng.integers(0, len(y_sup), half)
         rix = rng.integers(0, X.shape[0], half)
         key, sk = jax.random.split(key)
@@ -404,9 +428,13 @@ def train_sgan(
             _summarize(
                 i, gen, disc, state, val_set, cfg, results_dir, key, on_summary
             )
+            if store is not None:
+                store.save(i + 1, state)
+    done = n_steps - start_step
     logger.info(
         "%d steps in %.1fs (%.2f steps/s)",
-        n_steps, time.perf_counter() - t0, n_steps / (time.perf_counter() - t0),
+        done, time.perf_counter() - t0,
+        done / max(time.perf_counter() - t0, 1e-9),
     )
     return state
 

@@ -83,3 +83,45 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_predictor_shards_over_mesh(rng):
+    """Batched predict runs with scans sharded across the 8-device mesh."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+    from radarml_tpu.models.pipeline import RadarPredictor
+    from radarml_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    n_classes, F = 3, DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(n_classes, F)) * 0.01, jnp.float32),
+        intercept=jnp.zeros((n_classes,), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((n_classes,), jnp.float32),
+        b=jnp.zeros((n_classes,), jnp.float32),
+    )
+    kw = dict(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib, min_proba=0.5,
+    )
+    single = RadarPredictor(mode="fast", **kw)
+    sharded = RadarPredictor(mode="fast", mesh=mesh, **kw)
+
+    B, T = 16, 2
+    cubes = jnp.asarray(rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255,
+                        jnp.float32)
+    xyz = jnp.asarray(rng.uniform(-20, 20, size=(B, T, 3)), jnp.float32)
+    xyz = xyz.at[..., 2].set(jnp.abs(xyz[..., 2]) + 60.0)
+    valid = jnp.ones((B, T), dtype=bool)
+
+    p1, _, proba1 = single(cubes, xyz, valid)
+    p2, _, proba2 = sharded(cubes, xyz, valid)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(
+        np.asarray(proba1), np.asarray(proba2), atol=1e-6
+    )
