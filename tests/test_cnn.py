@@ -1,0 +1,81 @@
+"""Multi-view CNN family: architecture, loss semantics, training loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radarml_tpu.models.cnn import MultiViewCNN, RESCALE
+from radarml_tpu.train.trainer import TrainConfig, train_cnn, weighted_xent_loss
+
+
+def _init(n_classes=3, rescale=(16, 16)):
+    model = MultiViewCNN(n_classes=n_classes)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1,) + rescale + (3,), jnp.float32),
+        train=False,
+    )["params"]
+    return model, params
+
+
+def test_architecture_shapes_and_param_structure():
+    model, params = _init(rescale=RESCALE)
+    x = jnp.zeros((2,) + RESCALE + (3,), jnp.float32)
+    logits = model.apply({"params": params}, x, train=False)
+    assert logits.shape == (2, 3)
+    # three independent conv branches (dnn.py:45-52: each projection
+    # gets its own 64→32 filter banks)
+    names = set(params.keys())
+    branches = [
+        n for n in names if n in ("branch_xz", "branch_yz", "branch_xy")
+    ]
+    assert len(branches) == 3
+    for b in branches:
+        kernels = params[b]
+        conv_feats = sorted(
+            v["kernel"].shape[-1] for v in kernels.values()
+        )
+        assert conv_feats == [32, 64]
+
+
+def test_weighted_loss_matches_keras_semantics():
+    logits = jnp.asarray([[2.0, 0.0, 0.0], [0.0, 2.0, 0.0]])
+    y = jnp.asarray([0, 1])
+    w = jnp.asarray([2.0, 1.0, 1.0])
+    got = float(weighted_xent_loss(logits, y, w))
+    nll = -np.log(np.exp(2.0) / (np.exp(2.0) + 2.0))
+    want = (2.0 * nll + 1.0 * nll) / 3.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_train_cnn_learns_separable_data():
+    rng = np.random.default_rng(0)
+    rescale = (16, 16)
+    n = 48
+    y = (np.arange(n) % 3).astype(np.int64)
+    X = rng.normal(size=(n,) + rescale + (3,)).astype(np.float32) * 0.1
+    # class-dependent mean shift makes the task separable
+    for c in range(3):
+        X[y == c, :, :, c] += 1.0
+    model, params = _init(rescale=rescale)
+    cfg = TrainConfig(batch_size=16, epochs=15, patience=5)
+    best, history = train_cnn(
+        model, params, X[:36], y[:36], X[36:], y[36:], config=cfg
+    )
+    assert max(history["val_accuracy"]) > 0.6
+    assert len(history["loss"]) <= cfg.epochs
+    # best params reproduce the best recorded val accuracy
+    logits = model.apply({"params": best}, jnp.asarray(X[36:]), train=False)
+    acc = float((np.asarray(logits).argmax(1) == y[36:]).mean())
+    np.testing.assert_allclose(acc, max(history["val_accuracy"]), atol=1e-6)
+
+
+def test_early_stopping_triggers():
+    rng = np.random.default_rng(1)
+    rescale = (16, 16)
+    X = rng.normal(size=(12,) + rescale + (3,)).astype(np.float32)
+    y = rng.integers(0, 3, size=12).astype(np.int64)  # unlearnable noise
+    model, params = _init(rescale=rescale)
+    cfg = TrainConfig(batch_size=6, epochs=100, patience=3)
+    _, history = train_cnn(model, params, X, y, X, y, config=cfg)
+    assert len(history["loss"]) < 100
