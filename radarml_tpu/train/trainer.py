@@ -85,14 +85,30 @@ def train_cnn(
         rep_sh = replicated(mesh)
         data_sh = batch_sharding(mesh)
 
-    @jax.jit
-    def train_step(params, opt_state, xb, yb, dropout_key):
+    # Device-resident data; epochs run as ONE dispatch each (lax.scan
+    # over batches) so the host never syncs per batch — essential when
+    # the device sits behind a high-latency link, and simply faster
+    # everywhere (the per-batch Python loop was dispatch-bound).
+    bs = config.batch_size
+    n = len(y_train)
+    n_batches = max(n // bs, 1)
+    n_used = n_batches * bs  # drop the ragged tail batch per epoch
+    Xd = jnp.asarray(X_train)
+    yd = jnp.asarray(y_train)
+    Xv = jnp.asarray(X_val)
+    yv = jnp.asarray(y_val)
+
+    def one_batch(carry, batch_idx):
+        params, opt_state, key = carry
+        xb = jnp.take(Xd, batch_idx, axis=0)
+        yb = jnp.take(yd, batch_idx, axis=0)
         if mesh is not None:
             xb = jax.lax.with_sharding_constraint(xb, data_sh)
+        key, dk = jax.random.split(key)
 
         def loss_fn(p):
             logits = model.apply(
-                {"params": p}, xb, train=True, rngs={"dropout": dropout_key}
+                {"params": p}, xb, train=True, rngs={"dropout": dk}
             )
             loss = weighted_xent_loss(logits, yb, weights_dev)
             acc = (logits.argmax(-1) == yb).mean()
@@ -103,27 +119,23 @@ def train_cnn(
         params = optax.apply_updates(params, updates)
         if mesh is not None:
             params = jax.lax.with_sharding_constraint(params, rep_sh)
-        return params, opt_state, loss, acc
+        return (params, opt_state, key), (loss, acc)
 
     @jax.jit
-    def eval_step(params, xb, yb):
-        logits = model.apply({"params": params}, xb, train=False)
-        logp = jax.nn.log_softmax(logits)
-        nll = -jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
-        correct = (logits.argmax(-1) == yb).astype(jnp.float32)
-        return nll.sum(), correct.sum()
+    def train_epoch(params, opt_state, key, perm):
+        batches = perm[:n_used].reshape(n_batches, bs)
+        (params, opt_state, key), (losses, accs) = jax.lax.scan(
+            one_batch, (params, opt_state, key), batches
+        )
+        return params, opt_state, losses.mean(), accs.mean()
 
-    def evaluate(params, X, y):
-        total_nll, total_correct, n = 0.0, 0.0, 0
-        bs = config.batch_size
-        for s in range(0, len(y), bs):
-            xb = jnp.asarray(X[s : s + bs])
-            yb = jnp.asarray(y[s : s + bs])
-            nll, corr = eval_step(params, xb, yb)
-            total_nll += float(nll)
-            total_correct += float(corr)
-            n += len(yb)
-        return total_nll / max(n, 1), total_correct / max(n, 1)
+    @jax.jit
+    def eval_all(params):
+        logits = model.apply({"params": params}, Xv, train=False)
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(logp, yv[:, None], axis=1)[:, 0]
+        correct = (logits.argmax(-1) == yv).astype(jnp.float32)
+        return nll.mean(), correct.mean()
 
     rng = np.random.default_rng(config.seed)
     key = jax.random.PRNGKey(config.seed)
@@ -133,30 +145,21 @@ def train_cnn(
     best_val = np.inf
     best_params = params
     stale = 0
-    n = len(y_train)
-    bs = config.batch_size
 
     for epoch in range(config.epochs):
         t0 = time.perf_counter()
-        perm = rng.permutation(n)
-        ep_loss, ep_acc, batches = 0.0, 0.0, 0
-        for s in range(0, n, bs):
-            idx = perm[s : s + bs]
-            if mesh is not None and len(idx) % mesh.devices.size != 0:
-                # Keep shards equal-sized: drop the ragged tail batch.
-                continue
-            xb = jnp.asarray(X_train[idx])
-            yb = jnp.asarray(y_train[idx])
-            key, dk = jax.random.split(key)
-            params, opt_state, loss, acc = train_step(
-                params, opt_state, xb, yb, dk
-            )
-            ep_loss += float(loss)
-            ep_acc += float(acc)
-            batches += 1
-        val_loss, val_acc = evaluate(params, X_val, y_val)
-        history["loss"].append(ep_loss / max(batches, 1))
-        history["accuracy"].append(ep_acc / max(batches, 1))
+        perm = jnp.asarray(rng.permutation(n))
+        params, opt_state, ep_loss, ep_acc = train_epoch(
+            params, opt_state, key, perm
+        )
+        key, _ = jax.random.split(key)
+        if len(yv):
+            val_loss_d, val_acc_d = eval_all(params)
+            val_loss, val_acc = float(val_loss_d), float(val_acc_d)
+        else:
+            val_loss, val_acc = float("nan"), float("nan")
+        history["loss"].append(float(ep_loss))
+        history["accuracy"].append(float(ep_acc))
         history["val_loss"].append(val_loss)
         history["val_accuracy"].append(val_acc)
         logger.info(
@@ -164,8 +167,9 @@ def train_cnn(
             epoch + 1, history["loss"][-1], history["accuracy"][-1],
             val_loss, val_acc, time.perf_counter() - t0,
         )
-        if val_loss < best_val:
-            best_val = val_loss
+        metric = val_loss if len(yv) else float(ep_loss)
+        if metric < best_val:
+            best_val = metric
             best_params = jax.tree.map(lambda a: np.asarray(a), params)
             stale = 0
         else:
@@ -174,7 +178,8 @@ def train_cnn(
                 logger.info("early stopping at epoch %d", epoch + 1)
                 break
 
-    best_idx = int(np.argmin(history["val_loss"]))
+    metric_key = "val_loss" if len(yv) else "loss"
+    best_idx = int(np.argmin(history[metric_key]))
     logger.info(
         "Best loss: %.4f, Best acc: %.2f%%",
         history["loss"][best_idx], history["accuracy"][best_idx] * 100,
