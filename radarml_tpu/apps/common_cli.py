@@ -93,9 +93,13 @@ def build_driver(args, arena: Arena = DEFAULT_ARENA):
             arena=arena, seed=args.driver_seed,
             scan_period_us=args.scan_period * 1e6,
         )
-    raise SystemExit(
-        "walabot driver requires the vendor SDK wheel; not present here"
-    )
+    from radarml_tpu.drivers import WalabotRadar, walabot_available
+
+    if not walabot_available():
+        raise SystemExit(
+            "walabot driver requires the vendor WalabotAPI SDK wheel"
+        )
+    return WalabotRadar(arena=arena)
 
 
 # --------------------------------------------------------------------------

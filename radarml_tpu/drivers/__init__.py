@@ -8,6 +8,7 @@ from radarml_tpu.drivers.base import (
     calibrate,
 )
 from radarml_tpu.drivers.synthetic import ReplayRadar, SyntheticRadar
+from radarml_tpu.drivers.walabot import WalabotRadar, walabot_available
 from radarml_tpu.drivers.native import (
     NativeRadar,
     NativeScanSource,
@@ -25,6 +26,8 @@ __all__ = [
     "calibrate",
     "ReplayRadar",
     "SyntheticRadar",
+    "WalabotRadar",
+    "walabot_available",
     "NativeRadar",
     "NativeScanSource",
     "build_library",

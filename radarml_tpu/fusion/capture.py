@@ -50,6 +50,12 @@ class CaptureConfig:
     min_score: float = MIN_DETECTED_OBJECT_SCORE
     mount: MountConfig = MountConfig()
     max_scans: Optional[int] = None  # safety bound for tests/CI
+    # Transient detection-server failures retry with backoff instead of
+    # killing the session (the reference exits on any gRPC error,
+    # ground_truth_samples.py:138-141 — a capture session should not
+    # lose its progress to one dropped RPC).
+    rpc_retries: int = 3
+    rpc_backoff_s: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,6 +111,26 @@ def associate(
     return out
 
 
+def _detections_with_retry(get_detections, cfg: CaptureConfig):
+    """Poll the detection source, retrying transient RPC failures."""
+    import time as _time
+
+    from radarml_tpu.rpc.client import DetectionServerError
+
+    for attempt in range(cfg.rpc_retries + 1):
+        try:
+            return get_detections(cfg.desired_labels)
+        except DetectionServerError as err:
+            if attempt >= cfg.rpc_retries:
+                raise
+            wait = cfg.rpc_backoff_s * (2**attempt)
+            logger.warning(
+                "detection server error (%s); retry %d/%d in %.1fs",
+                err, attempt + 1, cfg.rpc_retries, wait,
+            )
+            _time.sleep(wait)
+
+
 def capture_samples(
     driver: RadarDriver,
     get_detections: Callable[[Sequence[str]], List[Detection]],
@@ -126,7 +152,7 @@ def capture_samples(
             return
         scans += 1
         driver.trigger()
-        detections = get_detections(cfg.desired_labels)
+        detections = _detections_with_retry(get_detections, cfg)
         if not detections:
             continue
         targets = driver.get_sensor_targets()

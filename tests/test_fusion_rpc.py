@@ -189,3 +189,39 @@ def test_capture_samples_end_to_end():
         assert s.distance_cm < 0.25 * s.target_position[2]
     # captured labels match planted ground truth distributions loosely
     assert len({s.label for s in samples}) >= 1
+
+
+def test_capture_retries_transient_rpc_failures():
+    from radarml_tpu.fusion.capture import _detections_with_retry
+    from radarml_tpu.rpc.client import DetectionServerError
+
+    class FakeErr(DetectionServerError):
+        def __init__(self):
+            RuntimeError.__init__(self, "UNAVAILABLE: gone")
+
+    calls = []
+
+    def flaky(desired):
+        calls.append(1)
+        if len(calls) < 3:
+            raise FakeErr()
+        return ["ok"]
+
+    cfg = CaptureConfig(rpc_retries=3, rpc_backoff_s=0.0)
+    assert _detections_with_retry(flaky, cfg) == ["ok"]
+    assert len(calls) == 3
+
+    def always(desired):
+        raise FakeErr()
+
+    import pytest as _pytest
+
+    with _pytest.raises(DetectionServerError):
+        _detections_with_retry(always, CaptureConfig(rpc_retries=1,
+                                                     rpc_backoff_s=0.0))
+
+
+def test_walabot_gated_absent():
+    from radarml_tpu.drivers import walabot_available
+
+    assert walabot_available() is False  # no vendor SDK in this image
