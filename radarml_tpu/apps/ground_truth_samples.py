@@ -135,8 +135,14 @@ def main(argv=None) -> int:
 
                         plt.show()
                     else:
+                        import shutil
+
                         from matplotlib import animation as mpl_anim
 
+                        if not shutil.which("ffmpeg"):
+                            raise SystemExit(
+                                "--save_plot needs ffmpeg on PATH"
+                            )
                         writer = mpl_anim.FFMpegWriter(fps=10)
                         ani.save(args.save_plot_path, writer=writer)
                 else:

@@ -117,3 +117,19 @@ def test_own_probability_calibration_reasonable(rng):
     np.testing.assert_allclose(
         proba.mean(0), ref.predict_proba(X).mean(0), atol=0.05
     )
+
+
+def test_pallas_rbf_gram_matches_xla(rng):
+    """Fused RBF kernel (interpret mode on CPU) vs the XLA formulation."""
+    import jax.numpy as jnp
+
+    from radarml_tpu.ops.pallas_rbf import rbf_gram
+
+    X = jnp.asarray(rng.normal(size=(37, 50)), jnp.float32)
+    S = jnp.asarray(rng.normal(size=(23, 50)), jnp.float32)
+    got = np.asarray(
+        rbf_gram(X, S, 0.05, tile_n=16, tile_m=16, interpret=True)
+    )
+    want = np.asarray(jsvc.kernel_matrix(X, S, "rbf", 0.05))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert got.shape == (37, 23)  # padding sliced away
