@@ -18,7 +18,9 @@ train     fit harnesses: grid search, Adam loops, SGAN schedule, metrics
 parallel  mesh construction + sharding specs for multi-chip scale-out
 fusion    camera→radar coordinate fusion + target association
 rpc       detection-server gRPC protocol client + in-process fake
-drivers   radar session drivers (synthetic, replay, native C++ shim)
+drivers   radar session drivers (synthetic, replay, native C++, walabot)
+viz       dataset browser, realtime capture view, dataset plots
+utils     stage timers, rate meters, device traces
 apps      CLI entry points mirroring the reference's public surface
 """
 

@@ -248,7 +248,8 @@ def _fit_sgd(args, proj_mask, X_train, y_train, X_test, y_test) -> dict:
             coef=prev_model.coef, intercept=prev_model.intercept
         )
         state = sgd_fit(
-            F_bal, y_bal, n_classes, cfg, state=state, seed=RANDOM_SEED
+            F_bal, y_bal, n_classes, cfg, state=state, seed=RANDOM_SEED,
+            epochs=args.grid_epochs,
         )
         model = sgd_model(state, cfg)
 

@@ -18,6 +18,7 @@ by matching accuracy on held-out data instead.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -268,72 +269,83 @@ def sgd_init(n_classes: int, n_features: int, cfg: SGDConfig) -> SGDState:
     )
 
 
-def _make_epoch_fn(cfg: SGDConfig, n_classes: int):
+@functools.lru_cache(maxsize=64)
+def _make_epoch_fn(penalty: str, average: bool, n_classes: int):
     """Build a jitted one-epoch (full pass, per-sample updates) function.
 
     One-vs-all: every binary problem consumes the same sample stream in
     the same order, vectorized across the class axis — the TPU-friendly
     layout for what sklearn runs as C sequential binary fits.
+
+    alpha/l1_ratio/t0 are *traced* scalars, so one compiled program
+    serves every hyperparameter combination of a grid search that
+    shares (penalty, average, n_classes, data shape) — the grid's 35
+    candidates compile ~4 programs instead of 35 (and the lru_cache
+    keeps the returned jitted fn stable across calls).
     """
-    alpha = cfg.alpha
-    l1_ratio = cfg.l1_ratio if cfg.penalty == "elasticnet" else (
-        1.0 if cfg.penalty == "l1" else 0.0
-    )
-    l2_scale = 1.0 - l1_ratio
-    use_l1 = l1_ratio > 0.0
+    use_l1 = penalty in ("l1", "elasticnet")
     n_ova = 1 if n_classes == 2 else n_classes
 
-    def sample_update(state: SGDState, xy):
-        x, y = xy  # x: (F,), y: scalar int
-        if n_ova == 1:
-            y_ova = jnp.where(y == 1, 1.0, -1.0)[None]
-        else:
-            y_ova = jnp.where(jnp.arange(n_ova) == y, 1.0, -1.0)
-        eta = 1.0 / (alpha * state.t)
+    def make_update(alpha, l1_ratio, t0):
+        l2_scale = 1.0 - l1_ratio
 
-        margin = (state.coef @ x + state.intercept) * y_ova  # (C,)
-        # log-loss gradient wrt margin: -y / (1 + exp(margin))
-        g = -y_ova / (1.0 + jnp.exp(jnp.clip(margin, -30.0, 30.0)))  # (C,)
+        def sample_update(state: SGDState, xy):
+            x, y = xy  # x: (F,), y: scalar int
+            if n_ova == 1:
+                y_ova = jnp.where(y == 1, 1.0, -1.0)[None]
+            else:
+                y_ova = jnp.where(jnp.arange(n_ova) == y, 1.0, -1.0)
+            eta = 1.0 / (alpha * state.t)
 
-        coef = state.coef
-        # L2 shrink (applied before the gradient step, as sklearn does
-        # via wscale).
-        if l2_scale > 0.0:
+            margin = (state.coef @ x + state.intercept) * y_ova  # (C,)
+            # log-loss gradient wrt margin: -y / (1 + exp(margin))
+            g = -y_ova / (1.0 + jnp.exp(jnp.clip(margin, -30.0, 30.0)))
+
+            coef = state.coef
+            # L2 shrink (applied before the gradient step, as sklearn
+            # does via wscale).
             coef = coef * (1.0 - eta * alpha * l2_scale)
-        coef = coef - eta * g[:, None] * x[None, :]
-        intercept = state.intercept - eta * g
+            coef = coef - eta * g[:, None] * x[None, :]
+            intercept = state.intercept - eta * g
 
-        q, u = state.q, state.u
-        if use_l1:
-            # Tsuruoka et al. cumulative L1 penalty.
-            u = u + eta * alpha * l1_ratio
-            z = coef
-            coef = jnp.where(
-                z > 0,
-                jnp.maximum(0.0, z - (u + q)),
-                jnp.where(z < 0, jnp.minimum(0.0, z + (u - q)), z),
+            q, u = state.q, state.u
+            if use_l1:
+                # Tsuruoka et al. cumulative L1 penalty.
+                u = u + eta * alpha * l1_ratio
+                z = coef
+                coef = jnp.where(
+                    z > 0,
+                    jnp.maximum(0.0, z - (u + q)),
+                    jnp.where(z < 0, jnp.minimum(0.0, z + (u - q)), z),
+                )
+                q = q + (coef - z)
+
+            if average:
+                # Uniform average over all steps seen so far.
+                n_seen = state.t - t0 + 1.0
+                w = 1.0 / n_seen
+                avg_coef = state.avg_coef + w * (coef - state.avg_coef)
+                avg_intercept = state.avg_intercept + w * (
+                    intercept - state.avg_intercept
+                )
+            else:
+                avg_coef, avg_intercept = state.avg_coef, state.avg_intercept
+
+            return (
+                SGDState(
+                    coef, intercept, state.t + 1.0, q, u,
+                    avg_coef, avg_intercept,
+                ),
+                None,
             )
-            q = q + (coef - z)
 
-        if cfg.average:
-            # Uniform average over all steps seen so far.
-            n_seen = state.t - _init_t(cfg.alpha) + 1.0
-            w = 1.0 / n_seen
-            avg_coef = state.avg_coef + w * (coef - state.avg_coef)
-            avg_intercept = state.avg_intercept + w * (
-                intercept - state.avg_intercept
-            )
-        else:
-            avg_coef, avg_intercept = state.avg_coef, state.avg_intercept
-
-        return (
-            SGDState(coef, intercept, state.t + 1.0, q, u, avg_coef, avg_intercept),
-            None,
-        )
+        return sample_update
 
     @jax.jit
-    def epoch(state: SGDState, X: jax.Array, y: jax.Array) -> SGDState:
-        state, _ = jax.lax.scan(sample_update, state, (X, y))
+    def epoch(state: SGDState, X, y, alpha, l1_ratio, t0) -> SGDState:
+        state, _ = jax.lax.scan(
+            make_update(alpha, l1_ratio, t0), state, (X, y)
+        )
         return state
 
     return epoch
@@ -363,14 +375,21 @@ def sgd_fit(
         epochs = int(min(max(np.ceil(10**6 / n), 5), 300))
     if state is None:
         state = sgd_init(n_classes, X.shape[1], cfg)
-    epoch_fn = _make_epoch_fn(cfg, n_classes)
+    epoch_fn = _make_epoch_fn(cfg.penalty, cfg.average, n_classes)
+    l1_ratio = (
+        cfg.l1_ratio if cfg.penalty == "elasticnet"
+        else (1.0 if cfg.penalty == "l1" else 0.0)
+    )
+    alpha = jnp.float32(cfg.alpha)
+    l1r = jnp.float32(l1_ratio)
+    t0 = jnp.float32(_init_t(cfg.alpha))
     rng = np.random.default_rng(seed)
     for _ in range(epochs):
         if shuffle:
             perm = jnp.asarray(rng.permutation(n))
-            state = epoch_fn(state, X[perm], y[perm])
+            state = epoch_fn(state, X[perm], y[perm], alpha, l1r, t0)
         else:
-            state = epoch_fn(state, X, y)
+            state = epoch_fn(state, X, y, alpha, l1r, t0)
     return state
 
 

@@ -65,6 +65,11 @@ __all__ = [
 
 # Native (cols, rows) projection sizes generated fakes are resized back
 # to (reference sgan.py:43-45).
+# Cache of jitted step functions keyed by the step-relevant config:
+# repeated make_sgan_step calls (tests, resume, multiple train runs in
+# one process) reuse one compiled program.
+_STEP_CACHE: dict = {}
+
 XZ_SIZE = (176, 22)
 YZ_SIZE = (176, 31)
 XY_SIZE = (31, 22)
@@ -151,19 +156,44 @@ def _bce(p: jax.Array, y: jax.Array) -> jax.Array:
 def make_sgan_step(
     gen: Generator, disc: Discriminator, cfg: SGANConfig,
     real_weight: float = 1.0,
+    mesh=None,
 ):
     """Build the fused 4-phase jitted train step.
 
     Signature: step(state, sup_views, sup_labels, real_views, key)
     → (state, losses dict). Views are (B, H, W, 3) stacks split into
     per-projection (B, H, W, 1) inputs inside.
+
+    With `mesh`, batches shard over the 'data' axis and parameters
+    replicate; XLA inserts the gradient/batch-stat collectives (flax
+    BatchNorm means over the sharded batch axis become cross-chip
+    reductions automatically).
     """
+    cache_key = (
+        gen, disc, cfg.latent_dim, cfg.n_batch, cfg.learning_rate,
+        cfg.beta1, cfg.n_classes, real_weight, mesh,
+    )
+    cached = _STEP_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
     adam = _adam(cfg)
+    if mesh is not None:
+        from radarml_tpu.parallel.mesh import batch_sharding, replicated
+
+        data_sh = batch_sharding(mesh)
+        rep_sh = replicated(mesh)
 
     def split_views(stack):
         return tuple(stack[..., i : i + 1] for i in range(3))
 
     def step(state: SGANState, sup_views, sup_labels, real_views, key):
+        if mesh is not None:
+            sup_views = jax.lax.with_sharding_constraint(sup_views, data_sh)
+            real_views = jax.lax.with_sharding_constraint(real_views, data_sh)
+            state = jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, rep_sh), state
+            )
         k_cdrop, k_rdrop, k_fdrop, k_gdrop, k_zf, k_zg, k_sm = jax.random.split(
             key, 7
         )
@@ -293,7 +323,9 @@ def make_sgan_step(
         }
         return new_state, losses
 
-    return jax.jit(step)
+    fn = jax.jit(step)
+    _STEP_CACHE[cache_key] = fn
+    return fn
 
 
 def select_supervised_samples(

@@ -121,3 +121,46 @@ def test_model_artifact_round_trip_svc(workdir):
         np.asarray(jsvc.predict_proba(model, X[:5])),
         atol=1e-6,
     )
+
+
+def test_train_app_online_learning_continues_model(workdir, trained):
+    """--online_learn loads the saved model and continues fitting
+    without overwriting the label encoder (reference train.py:409-416,
+    733-737)."""
+    import time
+
+    from radarml_tpu.apps import train as train_app
+
+    le_mtime = os.path.getmtime("train-results/radar_labels.pickle")
+    time.sleep(0.05)
+    out = train_app.main(
+        [
+            "--online_learn",
+            "--datasets", "ds.pickle",
+            "--grid_epochs", "3",
+            "--folds", "3",
+        ]
+    )
+    assert out["kind"] == "linear"
+    # label encoder untouched after online learning
+    assert os.path.getmtime("train-results/radar_labels.pickle") == le_mtime
+    # model artifact refreshed
+    with open("train-results/svm_radar_classifier.pickle", "rb") as fp:
+        obj = pickle.load(fp)
+    assert obj["kind"] == "linear"
+
+
+def test_train_app_augment_epochs(workdir):
+    from radarml_tpu.apps import train as train_app
+
+    out = train_app.main(
+        [
+            "--synthetic", "30",
+            "--datasets", "ds_aug.pickle",
+            "--grid_epochs", "3",
+            "--folds", "3",
+            "--epochs", "1",
+        ]
+    )
+    assert out["kind"] == "linear"
+    assert 0.0 <= out["metrics"]["accuracy"] <= 1.0

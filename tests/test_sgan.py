@@ -13,7 +13,7 @@ from radarml_tpu.models.sgan import (
 from radarml_tpu.train import sgan_trainer as st
 
 
-SMALL = (32, 32)  # keep unit tests fast; the real pipeline uses 128×128
+SMALL = (16, 16)  # keep unit tests fast; the real pipeline uses 128×128
 
 
 @pytest.fixture(scope="module")
