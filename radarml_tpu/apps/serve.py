@@ -1,0 +1,146 @@
+"""CLI: continuous streaming classification service.
+
+Production-shaped serving loop the reference doesn't have: a C++ (or
+synthetic) scan source feeds an ingest thread; scans batch by
+max-size-or-max-wait; each batch runs the jitted predictor; detections
+stream to the log with end-to-end latency. Prints a JSON stats line on
+exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+from radarml_tpu.apps.common_cli import (
+    add_common_flags,
+    add_driver_flags,
+    build_driver,
+    load_label_encoder,
+    load_model,
+    setup_logging,
+)
+from radarml_tpu.core.arena import DEFAULT_ARENA
+from radarml_tpu.models.pipeline import RadarPredictor, UNKNOWN
+from radarml_tpu.serving import (
+    StreamConfig,
+    StreamingClassifier,
+    driver_scan_source,
+    native_scan_source,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--svm_model", type=str,
+                   default="train-results/svm_radar_classifier.pickle")
+    p.add_argument("--label_encoder", type=str,
+                   default="train-results/radar_labels.pickle")
+    p.add_argument("--min_proba", type=float, default=0.7)
+    p.add_argument("--mode", type=str, default="fast",
+                   choices=["exact", "fast", "pallas"])
+    p.add_argument("--duration", type=float, default=10.0,
+                   help="seconds to serve (0 = until interrupted)")
+    p.add_argument("--max_batch", type=int, default=64)
+    p.add_argument("--max_wait_ms", type=float, default=10.0)
+    p.add_argument("--log_detections", action="store_true")
+    add_driver_flags(p)
+    add_common_flags(p)
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    setup_logging(None, args.logging_level)
+
+    model, calib = load_model(args.svm_model)
+    le = load_label_encoder(args.label_encoder)
+    predictor = RadarPredictor(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib,
+        min_proba=args.min_proba, mode=args.mode,
+    )
+
+    def on_detection(d):
+        if args.log_detections:
+            name = "Unknown" if d.label_index == UNKNOWN else le.classes_[
+                d.label_index
+            ]
+            logger.info(
+                "scan %d target %d: %s (%.3f) %.1fms",
+                d.seq, d.target_index, name, d.proba, d.latency_ms,
+            )
+
+    # Warm/compile the device program before opening the stream so the
+    # first real batch doesn't absorb compile time into its latency.
+    import numpy as np
+
+    logger.info("warming predictor (compile)...")
+    warm_cubes = np.zeros(
+        (args.max_batch,) + DEFAULT_ARENA.grid_shape, np.float32
+    )
+    warm_xyz = np.tile(
+        np.array([0.0, 0.0, 100.0], np.float32), (args.max_batch, 4, 1)
+    )
+    warm_valid = np.ones((args.max_batch, 4), bool)
+    import jax
+
+    jax.block_until_ready(predictor(warm_cubes, warm_xyz, warm_valid))
+    logger.info("predictor ready")
+
+    # Shallow queue = low latency: beyond ~2 batches of backlog the
+    # newest-wins drop policy should kick in rather than queueing
+    # stale scans (a 5 Hz sensor's scan is worthless 2 s later).
+    svc = StreamingClassifier(
+        predictor,
+        StreamConfig(
+            max_batch=args.max_batch,
+            max_wait_s=args.max_wait_ms / 1e3,
+            queue_depth=2 * args.max_batch,
+        ),
+        on_detection=on_detection,
+    )
+
+    if args.driver == "native":
+        from radarml_tpu.drivers import NativeScanSource
+
+        src = NativeScanSource(
+            arena=DEFAULT_ARENA, seed=args.driver_seed,
+            scan_period_us=args.scan_period * 1e6,
+        )
+        src.start()
+        source = native_scan_source(src, DEFAULT_ARENA)
+        cleanup = src.close
+    else:
+        from radarml_tpu.drivers import RadarSession
+
+        driver = build_driver(args, DEFAULT_ARENA)
+        session = RadarSession(driver)
+        session.__enter__()
+        source = driver_scan_source(driver)
+        cleanup = lambda: session.__exit__(None, None, None)
+
+    svc.start(source)
+    try:
+        if args.duration > 0:
+            time.sleep(args.duration)
+        else:
+            while True:
+                time.sleep(1)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        svc.stop()
+        cleanup()
+    stats = svc.stats()
+    print(json.dumps({k: round(v, 2) if isinstance(v, float) else v
+                      for k, v in stats.items()}))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

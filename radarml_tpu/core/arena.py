@@ -181,6 +181,24 @@ class Arena:
         r = self.r_min + k * (self.r_max - self.r_min) / (self.size_z - 1)
         return spherical_to_cartesian(r, theta, phi)
 
+    def grid_to_cartesian_np(self, i, j, k):
+        """Host-side numpy twin of :meth:`grid_to_cartesian`.
+
+        Hot host loops (driver target reports at sensor rate) must not
+        pay a device dispatch for scalar trig — on a remote-tunneled
+        device that is ~28 ms per call.
+        """
+        theta = self.theta_min + i * (self.theta_max - self.theta_min) / (
+            self.size_x - 1
+        )
+        phi = self.phi_min + j * (self.phi_max - self.phi_min) / (self.size_y - 1)
+        r = self.r_min + k * (self.r_max - self.r_min) / (self.size_z - 1)
+        t, p = np.deg2rad(theta), np.deg2rad(phi)
+        x = r * np.sin(t)
+        y = r * np.cos(t) * np.sin(p)
+        z = r * np.cos(t) * np.cos(p)
+        return x, y, z
+
 
 DEFAULT_ARENA = Arena()
 

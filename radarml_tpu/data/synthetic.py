@@ -102,7 +102,7 @@ def synth_cube(
 
     cube = np.clip(cube, 0.0, RADAR_MAX).astype(np.float32)
 
-    x, y, z = arena.grid_to_cartesian(float(ti), float(tj), float(tk))
+    x, y, z = arena.grid_to_cartesian_np(float(ti), float(tj), float(tk))
     target = SyntheticTarget(
         x=float(x), y=float(y), z=float(z),
         i=ti, j=tj, k=tk, label=label, amplitude=float(amp),

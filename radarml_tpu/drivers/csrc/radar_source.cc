@@ -197,34 +197,64 @@ class RadarSource {
   }
 
   void synth(Slot& s) {
+    // Separable blob: exp(-(di+dj+dk)) = ex[i]·ey[j]·ezl[k], so the
+    // fill is multiply-adds with O(X+Y+Z·lobes) transcendentals
+    // instead of O(X·Y·Z); speckle noise draws from a precomputed
+    // 4096-entry exponential table (one PRNG step per voxel, no log).
     const ClassSig& sig = kSigs[rng_.range(0, 3)];
     int ti = rng_.range(3, nx_ - 3);
     int tj = rng_.range(3, ny_ - 3);
     int tk = rng_.range(nz_ / 8, nz_ - nz_ / 6);
     float* cube = s.cube.data();
+
+    if (expo_table_.empty()) {
+      expo_table_.resize(kExpoTableSize);
+      for (int t = 0; t < kExpoTableSize; ++t) {
+        const double u = (t + 0.5) / kExpoTableSize;
+        expo_table_[t] = static_cast<float>(-8.0 * std::log(u));
+      }
+    }
+    ex_.resize(nx_);
+    ey_.resize(ny_);
+    ezl_.resize(nz_);
+    decay_.resize(nz_);
     const double inv_t = 1.0 / (2 * sig.t_sd * sig.t_sd);
     const double inv_p = 1.0 / (2 * sig.p_sd * sig.p_sd);
     const double inv_r = 1.0 / (2 * sig.r_sd * sig.r_sd);
+    for (int i = 0; i < nx_; ++i)
+      ex_[i] = static_cast<float>(std::exp(-(i - ti) * (i - ti) * inv_t));
+    for (int j = 0; j < ny_; ++j)
+      ey_[j] = static_cast<float>(std::exp(-(j - tj) * (j - tj) * inv_p));
+    for (int k = 0; k < nz_; ++k) {
+      double v = 0.0;
+      for (int l = 0; l < sig.lobes; ++l) {
+        const int lk = tk + l * sig.gap;
+        v += sig.amp * std::pow(0.85, l) *
+             std::exp(-(k - lk) * (k - lk) * inv_r);
+      }
+      ezl_[k] = static_cast<float>(v);
+      decay_[k] = static_cast<float>(12.0 * std::exp(-k / 25.0));
+    }
+
     for (int i = 0; i < nx_; ++i) {
-      const double di = (i - ti) * (i - ti) * inv_t;
+      const float exi = ex_[i];
       for (int j = 0; j < ny_; ++j) {
-        const double dj = (j - tj) * (j - tj) * inv_p;
+        const float exy = exi * ey_[j];
         float* row = cube + (static_cast<size_t>(i) * ny_ + j) * nz_;
         for (int k = 0; k < nz_; ++k) {
-          double v = 0.0;
-          for (int l = 0; l < sig.lobes; ++l) {
-            const int lk = tk + l * sig.gap;
-            const double dk = (k - lk) * (k - lk) * inv_r;
-            v += sig.amp * std::pow(0.85, l) * std::exp(-(di + dj + dk));
-          }
-          v += rng_.expo(8.0) + 12.0 * std::exp(-k / 25.0);
-          row[k] = static_cast<float>(v > 255.0 ? 255.0 : v);
+          const float noise =
+              expo_table_[rng_.next() & (kExpoTableSize - 1)];
+          float v = exy * ezl_[k] + noise + decay_[k];
+          row[k] = v > 255.0f ? 255.0f : v;
         }
       }
     }
     s.n_targets = 1;
     s.targets[0] = Target{ti, tj, tk, static_cast<float>(sig.amp)};
   }
+
+  static constexpr int kExpoTableSize = 4096;
+  std::vector<float> expo_table_, ex_, ey_, ezl_, decay_;
 
   const int nx_, ny_, nz_;
   const size_t cube_len_;

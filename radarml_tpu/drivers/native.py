@@ -119,6 +119,10 @@ class NativeScanSource:
         self._cube = np.empty(arena.grid_shape, np.float32)
         self._targets = np.empty((self.max_targets, 4), np.float32)
         self._started = False
+        # Serializes next()/close(): destroying the C++ object while a
+        # consumer thread is blocked inside rs_next is undefined
+        # behavior (condvar torn down under a waiter).
+        self._use_lock = threading.Lock()
 
     def load_pool(
         self, cubes: np.ndarray, targets_ijka: Sequence[np.ndarray]
@@ -160,22 +164,25 @@ class NativeScanSource:
         f32p = ctypes.POINTER(ctypes.c_float)
         n = ctypes.c_int(0)
         seq = ctypes.c_uint64(0)
-        rc = self._lib.rs_next(
-            self._h,
-            self._cube.ctypes.data_as(f32p),
-            self._targets.ctypes.data_as(f32p),
-            self.max_targets,
-            ctypes.byref(n),
-            ctypes.byref(seq),
-            int(timeout_s * 1e6),
-        )
-        if rc != 1:
-            return None
-        return (
-            self._cube.copy(),
-            self._targets[: n.value].copy(),
-            int(seq.value),
-        )
+        with self._use_lock:
+            if self._h is None:
+                return None
+            rc = self._lib.rs_next(
+                self._h,
+                self._cube.ctypes.data_as(f32p),
+                self._targets.ctypes.data_as(f32p),
+                self.max_targets,
+                ctypes.byref(n),
+                ctypes.byref(seq),
+                int(timeout_s * 1e6),
+            )
+            if rc != 1:
+                return None
+            return (
+                self._cube.copy(),
+                self._targets[: n.value].copy(),
+                int(seq.value),
+            )
 
     @property
     def produced(self) -> int:
@@ -188,8 +195,10 @@ class NativeScanSource:
     def close(self):
         if self._h:
             self.stop()
-            self._lib.rs_destroy(self._h)
-            self._h = None
+            with self._use_lock:
+                if self._h:
+                    self._lib.rs_destroy(self._h)
+                    self._h = None
 
     def __del__(self):
         try:
@@ -238,7 +247,7 @@ class NativeRadar(RadarDriver):
         self._cube = cube
         self._targets = []
         for i, j, k, amp in rows:
-            x, y, z = self.arena.grid_to_cartesian(float(i), float(j), float(k))
+            x, y, z = self.arena.grid_to_cartesian_np(float(i), float(j), float(k))
             self._targets.append(
                 RadarTarget(float(x), float(y), float(z), float(amp))
             )

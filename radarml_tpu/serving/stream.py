@@ -1,0 +1,235 @@
+"""Streaming serving runtime: sensor → batcher → TPU → detections.
+
+The reference's predictor is a single-threaded loop classifying one
+scan at a time (predict.py:72-131) — fine for a 5 Hz radar, but this
+framework targets fleets of sensors feeding one chip. This module is
+that serving runtime:
+
+* an **ingest thread** pulls scans from any RadarDriver (or the native
+  C++ ring-buffer source) into a bounded queue — newest-wins drop
+  policy when the device falls behind, like the sensor itself;
+* a **batch assembler** forms device batches by max-size-or-max-wait
+  (amortizing dispatch latency without unbounded queueing delay);
+* the **predict loop** runs the jitted RadarPredictor (any mode) and
+  hands detection events to a callback;
+* per-stage stats: EMA scans/s, dropped scans, batch-size histogram,
+  end-to-end latency percentiles.
+
+Everything is plain threads + queues on the host; the device work is
+the one jitted program per batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from typing import Callable, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from radarml_tpu.models.pipeline import RadarPredictor, UNKNOWN, pad_targets
+from radarml_tpu.utils.profiling import RateMeter
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Scan", "Detection", "StreamConfig", "StreamingClassifier"]
+
+
+class Scan(NamedTuple):
+    cube: np.ndarray
+    targets: Sequence  # [(x, y, z), ...] or RadarTarget list
+    t_ingest: float
+    seq: int
+
+
+class Detection(NamedTuple):
+    seq: int
+    target_index: int
+    label_index: int  # UNKNOWN (-1) below threshold
+    proba: float
+    latency_ms: float
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamConfig:
+    max_batch: int = 64
+    max_wait_s: float = 0.01
+    queue_depth: int = 256
+    max_targets: int = 4
+
+
+class StreamingClassifier:
+    """Continuous scan classification service.
+
+    Usage:
+        svc = StreamingClassifier(predictor, on_detection=print)
+        svc.start(scan_source)   # callable () -> Optional[(cube, targets)]
+        ...
+        svc.stop()
+    """
+
+    def __init__(
+        self,
+        predictor: RadarPredictor,
+        cfg: StreamConfig = StreamConfig(),
+        on_detection: Optional[Callable[[Detection], None]] = None,
+    ):
+        self.predictor = predictor
+        self.cfg = cfg
+        self.on_detection = on_detection
+        self._q: "queue.Queue[Scan]" = queue.Queue(cfg.queue_depth)
+        self._stop = threading.Event()
+        self._ingest_thread: Optional[threading.Thread] = None
+        self._predict_thread: Optional[threading.Thread] = None
+        # stats
+        self.ingest_rate = RateMeter()
+        self.classify_rate = RateMeter()
+        self.dropped = 0
+        self.processed = 0
+        self.batches: List[int] = []
+        self.latencies_ms: List[float] = []
+        self._seq = 0
+
+    # -- ingest ------------------------------------------------------------
+    def _ingest_loop(self, scan_source: Callable):
+        while not self._stop.is_set():
+            out = scan_source()
+            if out is None:
+                continue
+            cube, targets = out
+            scan = Scan(cube, targets, time.perf_counter(), self._seq)
+            self._seq += 1
+            self.ingest_rate.tick()
+            try:
+                self._q.put_nowait(scan)
+            except queue.Full:
+                # Newest-wins: evict the oldest queued scan.
+                try:
+                    self._q.get_nowait()
+                    self.dropped += 1
+                except queue.Empty:
+                    pass
+                try:
+                    self._q.put_nowait(scan)
+                except queue.Full:
+                    self.dropped += 1
+
+    # -- batching + predict ------------------------------------------------
+    def _collect_batch(self) -> List[Scan]:
+        batch: List[Scan] = []
+        deadline = None
+        while len(batch) < self.cfg.max_batch and not self._stop.is_set():
+            timeout = 0.05
+            if deadline is not None:
+                timeout = max(deadline - time.perf_counter(), 0.0)
+                if timeout == 0.0:
+                    break
+            try:
+                scan = self._q.get(timeout=timeout)
+            except queue.Empty:
+                if batch:
+                    break
+                continue
+            batch.append(scan)
+            if deadline is None:
+                deadline = time.perf_counter() + self.cfg.max_wait_s
+        return batch
+
+    def _predict_loop(self):
+        while not self._stop.is_set():
+            batch = self._collect_batch()
+            if not batch:
+                continue
+            cubes = np.stack([s.cube for s in batch])
+            target_lists = [
+                [(t[0], t[1], t[2]) for t in s.targets] for s in batch
+            ]
+            xyz, valid = pad_targets(target_lists, self.cfg.max_targets)
+            pred, proba, _ = self.predictor(cubes, xyz, valid)
+            pred = np.asarray(pred)
+            proba = np.asarray(proba)
+            now = time.perf_counter()
+            self.processed += len(batch)
+            self.batches.append(len(batch))
+            self.classify_rate.tick(len(batch))
+            for b, scan in enumerate(batch):
+                lat_ms = (now - scan.t_ingest) * 1e3
+                self.latencies_ms.append(lat_ms)
+                for t in range(valid.shape[1]):
+                    if not valid[b, t]:
+                        continue
+                    d = Detection(
+                        seq=scan.seq,
+                        target_index=t,
+                        label_index=int(pred[b, t]),
+                        proba=float(proba[b, t]),
+                        latency_ms=lat_ms,
+                    )
+                    if self.on_detection is not None:
+                        self.on_detection(d)
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self, scan_source: Callable):
+        self._stop.clear()
+        self._predict_thread = threading.Thread(
+            target=self._predict_loop, name="predict", daemon=True
+        )
+        self._ingest_thread = threading.Thread(
+            target=self._ingest_loop, args=(scan_source,), name="ingest",
+            daemon=True,
+        )
+        self._predict_thread.start()
+        self._ingest_thread.start()
+
+    def stop(self, timeout: float = 5.0):
+        self._stop.set()
+        for t in (self._ingest_thread, self._predict_thread):
+            if t is not None:
+                t.join(timeout)
+
+    def stats(self) -> dict:
+        lat = np.asarray(self.latencies_ms) if self.latencies_ms else np.zeros(1)
+        return {
+            "processed": self.processed,
+            "dropped": self.dropped,
+            "ingest_rate": self.ingest_rate.rate,
+            "classify_rate": self.classify_rate.rate,
+            "mean_batch": float(np.mean(self.batches)) if self.batches else 0.0,
+            "latency_p50_ms": float(np.percentile(lat, 50)),
+            "latency_p95_ms": float(np.percentile(lat, 95)),
+        }
+
+
+def driver_scan_source(driver):
+    """Adapt a RadarDriver to the scan_source callable contract."""
+
+    def source():
+        driver.trigger()
+        targets = driver.get_sensor_targets()
+        if not targets:
+            return None
+        return driver.get_raw_image(), [(t.x, t.y, t.z) for t in targets]
+
+    return source
+
+
+def native_scan_source(src, arena):
+    """Adapt a NativeScanSource: C++ thread produces, we pop."""
+
+    def source():
+        out = src.next(timeout_s=0.5)
+        if out is None:
+            return None
+        cube, rows, _seq = out
+        targets = []
+        for i, j, k, _amp in rows:
+            x, y, z = arena.grid_to_cartesian_np(float(i), float(j), float(k))
+            targets.append((float(x), float(y), float(z)))
+        if not targets:
+            return None
+        return cube, targets
+
+    return source
