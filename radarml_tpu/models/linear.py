@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -283,6 +283,21 @@ def _make_epoch_fn(penalty: str, average: bool, n_classes: int):
     candidates compile ~4 programs instead of 35 (and the lru_cache
     keeps the returned jitted fn stable across calls).
     """
+    make_update = _make_sample_update(penalty, average, n_classes)
+
+    @jax.jit
+    def epoch(state: SGDState, X, y, alpha, l1_ratio, t0) -> SGDState:
+        state, _ = jax.lax.scan(
+            make_update(alpha, l1_ratio, t0), state, (X, y)
+        )
+        return state
+
+    return epoch
+
+
+@functools.lru_cache(maxsize=64)
+def _make_sample_update(penalty: str, average: bool, n_classes: int):
+    """Shared one-sample sklearn-dynamics update builder."""
     use_l1 = penalty in ("l1", "elasticnet")
     n_ova = 1 if n_classes == 2 else n_classes
 
@@ -341,14 +356,7 @@ def _make_epoch_fn(penalty: str, average: bool, n_classes: int):
 
         return sample_update
 
-    @jax.jit
-    def epoch(state: SGDState, X, y, alpha, l1_ratio, t0) -> SGDState:
-        state, _ = jax.lax.scan(
-            make_update(alpha, l1_ratio, t0), state, (X, y)
-        )
-        return state
-
-    return epoch
+    return make_update
 
 
 def sgd_fit(
@@ -397,3 +405,246 @@ def sgd_model(state: SGDState, cfg: SGDConfig) -> LinearModel:
     if cfg.average:
         return LinearModel(coef=state.avg_coef, intercept=state.avg_intercept)
     return LinearModel(coef=state.coef, intercept=state.intercept)
+
+
+def sgd_fit_many(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_classes: int,
+    penalty: str,
+    average: bool,
+    alphas: Sequence[float],
+    l1_ratios: Sequence[float],
+    epochs: Optional[int] = None,
+    seed: int = 1234,
+    tol: Optional[float] = None,
+    n_iter_no_change: int = 5,
+) -> SGDState:
+    """Train MANY hyperparameter candidates simultaneously via vmap.
+
+    All candidates sharing (penalty, average) train in one device
+    program with a leading candidate axis on the state: where sklearn's
+    GridSearchCV runs n_candidates × n_folds sequential fits, the MXU
+    sweeps the whole candidate batch per sample step. Identical
+    math/per-candidate results to sequential `sgd_fit` (same seed →
+    same shuffles).
+
+    With `tol`, each candidate early-stops sklearn-style: when its mean
+    epoch training loss fails to improve on its best by more than tol
+    for `n_iter_no_change` consecutive epochs, its state freezes while
+    the rest continue (a `lax.while_loop` on device — still a single
+    dispatch). One documented divergence from sklearn: the stop
+    criterion aggregates the OvA classes' losses per candidate, where
+    sklearn stops each binary problem independently; late-converging
+    classes keep the whole candidate training slightly longer.
+
+    Returns a batched SGDState whose leading axis indexes candidates
+    (aligned with `alphas`/`l1_ratios`).
+    """
+    X = jnp.asarray(X, dtype=jnp.float32)
+    y = jnp.asarray(y, dtype=jnp.int32)
+    n = X.shape[0]
+    if epochs is None:
+        epochs = int(min(max(np.ceil(10**6 / n), 5), 300))
+    alphas = np.asarray(alphas, np.float32)
+    l1rs = np.asarray(l1_ratios, np.float32)
+    t0s = np.asarray([_init_t(float(a)) for a in alphas], np.float32)
+    n_cand = len(alphas)
+
+    base = sgd_init(n_classes, X.shape[1], SGDConfig(penalty=penalty))
+    state = SGDState(
+        coef=jnp.zeros((n_cand,) + base.coef.shape, jnp.float32),
+        intercept=jnp.zeros((n_cand,) + base.intercept.shape, jnp.float32),
+        t=jnp.asarray(t0s),
+        q=jnp.zeros((n_cand,) + base.q.shape, jnp.float32),
+        u=jnp.zeros((n_cand,), jnp.float32),
+        avg_coef=jnp.zeros((n_cand,) + base.coef.shape, jnp.float32),
+        avg_intercept=jnp.zeros(
+            (n_cand,) + base.intercept.shape, jnp.float32
+        ),
+    )
+    # All epochs fuse into ONE device program: permutations precompute
+    # host-side into an (epochs, n) table and the epoch loop runs on
+    # device (one dispatch per fit-many call — essential when each
+    # dispatch pays link latency, and faster everywhere).
+    rng = np.random.default_rng(seed)
+    perms = jnp.asarray(
+        np.stack([rng.permutation(n) for _ in range(epochs)]), jnp.int32
+    )
+    args = (
+        state, X, y, perms,
+        jnp.asarray(alphas), jnp.asarray(l1rs), jnp.asarray(t0s),
+    )
+    if tol is None:
+        fused = _make_many_epochs_fn(penalty, average, n_classes)
+        return fused(*args)
+    fused = _make_many_epochs_earlystop_fn(
+        penalty, average, n_classes, float(tol), int(n_iter_no_change)
+    )
+    return fused(*args)
+
+
+def sgd_fit_many_folds(
+    Xs: jax.Array,
+    ys: jax.Array,
+    n_classes: int,
+    penalty: str,
+    average: bool,
+    alphas: Sequence[float],
+    l1_ratios: Sequence[float],
+    epochs: Optional[int] = None,
+    seed: int = 1234,
+    tol: Optional[float] = None,
+    n_iter_no_change: int = 5,
+) -> SGDState:
+    """sgd_fit_many over a leading FOLD axis: the whole cross-validation
+    of one penalty group — every fold × every candidate — is a single
+    device dispatch. Valid under vmap because the early-stop body is a
+    no-op for lanes whose candidates have stopped.
+
+    Args:
+        Xs: (folds, n, F) stacked fold training sets (equal-size).
+        ys: (folds, n) labels.
+
+    Returns a batched SGDState with leading axes (folds, candidates).
+    """
+    Xs = jnp.asarray(Xs, jnp.float32)
+    ys = jnp.asarray(ys, jnp.int32)
+    folds, n = ys.shape
+    if epochs is None:
+        epochs = int(min(max(np.ceil(10**6 / n), 5), 300))
+    alphas_np = np.asarray(alphas, np.float32)
+    l1rs = np.asarray(l1_ratios, np.float32)
+    t0s = np.asarray([_init_t(float(a)) for a in alphas_np], np.float32)
+    k = len(alphas_np)
+
+    base = sgd_init(n_classes, Xs.shape[2], SGDConfig(penalty=penalty))
+    lead = (folds, k)
+    state = SGDState(
+        coef=jnp.zeros(lead + base.coef.shape, jnp.float32),
+        intercept=jnp.zeros(lead + base.intercept.shape, jnp.float32),
+        t=jnp.broadcast_to(jnp.asarray(t0s), lead),
+        q=jnp.zeros(lead + base.q.shape, jnp.float32),
+        u=jnp.zeros(lead, jnp.float32),
+        avg_coef=jnp.zeros(lead + base.coef.shape, jnp.float32),
+        avg_intercept=jnp.zeros(lead + base.intercept.shape, jnp.float32),
+    )
+    rng = np.random.default_rng(seed)
+    perms = jnp.asarray(
+        np.stack([rng.permutation(n) for _ in range(epochs)]), jnp.int32
+    )
+    if tol is None:
+        inner = _make_many_epochs_fn(penalty, average, n_classes)
+    else:
+        inner = _make_many_epochs_earlystop_fn(
+            penalty, average, n_classes, float(tol), int(n_iter_no_change)
+        )
+    outer = jax.jit(
+        jax.vmap(inner, in_axes=(0, 0, 0, None, None, None, None))
+    )
+    return outer(
+        state, Xs, ys, perms,
+        jnp.asarray(alphas_np), jnp.asarray(l1rs), jnp.asarray(t0s),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _make_many_epochs_fn(penalty: str, average: bool, n_classes: int):
+    epoch_fn = _make_epoch_fn(penalty, average, n_classes)
+
+    @jax.jit
+    def fused(state, X, y, perms, alphas, l1rs, t0s):
+        many_epoch = jax.vmap(epoch_fn, in_axes=(0, None, None, 0, 0, 0))
+
+        def body(st, perm):
+            return many_epoch(st, X[perm], y[perm], alphas, l1rs, t0s), None
+
+        state, _ = jax.lax.scan(body, state, perms)
+        return state
+
+    return fused
+
+
+@functools.lru_cache(maxsize=64)
+def _make_epoch_loss_fn(penalty: str, average: bool, n_classes: int):
+    """Like _make_epoch_fn but also returns the epoch's summed log-loss
+    (computed pre-update per sample, as sklearn's sumloss is)."""
+    make_update = _make_sample_update(penalty, average, n_classes)
+    n_ova = 1 if n_classes == 2 else n_classes
+
+    def epoch_with_loss(state, X, y, alpha, l1_ratio, t0):
+        # sklearn accumulates each sample's loss at the weights BEFORE
+        # that sample's update (sumloss in _plain_sgd); fold the same
+        # accumulation into the update scan.
+        update = make_update(alpha, l1_ratio, t0)
+
+        def step(carry, xy):
+            st, sumloss = carry
+            x, yv = xy
+            if n_ova == 1:
+                y_ova = jnp.where(yv == 1, 1.0, -1.0)[None]
+            else:
+                y_ova = jnp.where(jnp.arange(n_ova) == yv, 1.0, -1.0)
+            margin = (st.coef @ x + st.intercept) * y_ova
+            sumloss = sumloss + jnp.sum(jax.nn.softplus(-margin))
+            st, _ = update(st, xy)
+            return (st, sumloss), None
+
+        (state, sumloss), _ = jax.lax.scan(
+            step, (state, jnp.float32(0.0)), (X, y)
+        )
+        return state, sumloss
+
+    return epoch_with_loss
+
+
+@functools.lru_cache(maxsize=64)
+def _make_many_epochs_earlystop_fn(
+    penalty: str, average: bool, n_classes: int, tol: float,
+    n_iter_no_change: int,
+):
+    epoch_loss_fn = _make_epoch_loss_fn(penalty, average, n_classes)
+
+    @jax.jit
+    def fused(state, X, y, perms, alphas, l1rs, t0s):
+        many = jax.vmap(epoch_loss_fn, in_axes=(0, None, None, 0, 0, 0))
+        n_epochs = perms.shape[0]
+        n = X.shape[0]
+        k = alphas.shape[0]
+
+        def mask_tree(active, new, old):
+            def m(a, b):
+                shape = (k,) + (1,) * (a.ndim - 1)
+                return jnp.where(active.reshape(shape), a, b)
+
+            return jax.tree.map(m, new, old)
+
+        def cond(carry):
+            _, e, _, _, active = carry
+            return (e < n_epochs) & jnp.any(active)
+
+        def body(carry):
+            st, e, best, stale, active = carry
+            perm = perms[e]
+            new_st, sumloss = many(st, X[perm], y[perm], alphas, l1rs, t0s)
+            loss = sumloss / n
+            st = mask_tree(active, new_st, st)
+            # sklearn stopping: no improvement beyond tol for
+            # n_iter_no_change consecutive epochs.
+            no_improve = loss > best - tol
+            stale = jnp.where(
+                active & no_improve, stale + 1, jnp.where(active, 0, stale)
+            )
+            best = jnp.where(active, jnp.minimum(best, loss), best)
+            active = active & (stale < n_iter_no_change)
+            return st, e + 1, best, stale, active
+
+        best0 = jnp.full((k,), jnp.inf, jnp.float32)
+        stale0 = jnp.zeros((k,), jnp.int32)
+        active0 = jnp.ones((k,), bool)
+        state, *_ = jax.lax.while_loop(
+            cond, body, (state, jnp.int32(0), best0, stale0, active0)
+        )
+        return state
+
+    return fused

@@ -74,3 +74,22 @@ def test_grid_search_svc_end_to_end(rng):
     proba = np.asarray(jsvc.predict_proba(res.best_model, X))
     assert proba.shape == (len(y), 3)
     np.testing.assert_allclose(proba.sum(1), 1.0, atol=1e-5)
+
+
+def test_batched_grid_search_matches_sequential(rng):
+    X, y = _blobs(rng, n=45, k=3, f=12)
+    grid = [
+        {"alpha": [1e-4, 1e-3], "penalty": ["l2"], "average": [False]},
+        {"alpha": [1e-4], "penalty": ["elasticnet"], "average": [False],
+         "l1_ratio": [0.1, 0.3]},
+    ]
+    seq = gs.grid_search_sgd(X, y, folds=3, grid=grid, epochs=6,
+                             vmap_candidates=False)
+    bat = gs.grid_search_sgd(X, y, folds=3, grid=grid, epochs=6,
+                             vmap_candidates=True)
+    assert bat.best_params == seq.best_params
+    for a, b in zip(seq.cv_results, bat.cv_results):
+        assert a["params"] == b["params"]
+        np.testing.assert_allclose(
+            a["mean_test_score"], b["mean_test_score"], atol=1e-6
+        )

@@ -147,3 +147,33 @@ def test_sgd_partial_fit_continues(featurized):
     )
     # Continued training must not regress materially and should be decent.
     assert acc > 0.65, (acc, acc_first)
+
+
+def test_sgd_fit_many_early_stop_freezes_converged(rng):
+    """With tol set, an easy problem stops well before max epochs and
+    matches sklearn's stopping contract (no-improve streak of 5)."""
+    import jax.numpy as jnp
+
+    from radarml_tpu.models.linear import sgd_fit_many, sgd_fit, SGDConfig
+
+    n, F, k = 60, 12, 3
+    y = (np.arange(n) % k).astype(np.int64)
+    centers = rng.normal(size=(k, F)).astype(np.float32) * 3
+    X = centers[y] + rng.normal(size=(n, F)).astype(np.float32)
+
+    stopped = sgd_fit_many(
+        X, y, k, "l2", False, [1e-4, 1e-2], [0.0, 0.0],
+        epochs=200, seed=0, tol=1e-3,
+    )
+    full = sgd_fit_many(
+        X, y, k, "l2", False, [1e-4, 1e-2], [0.0, 0.0],
+        epochs=200, seed=0, tol=None,
+    )
+    # Early stop consumed fewer steps (t counts samples seen).
+    assert float(stopped.t[0]) < float(full.t[0])
+    # And the stopped model still classifies the easy data correctly.
+    pred = np.argmax(
+        X @ np.asarray(stopped.coef[0]).T + np.asarray(stopped.intercept[0]),
+        axis=1,
+    )
+    assert (pred == y).mean() > 0.95
