@@ -98,47 +98,81 @@ class RadarPredictor:
         templates = np.concatenate(parts, axis=1).astype(np.float32)
         return templates  # (C, F_native)
 
-    def _build_folded(self) -> Callable:
+    def _split_templates(self):
+        """Folded templates reshaped to per-plane (C, ·, ·) tensors
+        (None where the plane is masked out)."""
         scan = self.scan_arena
-        templates = jnp.asarray(self._folded_templates())
+        templates = self._folded_templates()
+        C = templates.shape[0]
+        shapes = [scan.xz_shape, scan.yz_shape, scan.xy_shape]
+        out = []
+        off = 0
+        for shape, keep in zip(shapes, self.proj_mask):
+            if not keep:
+                out.append(None)
+                continue
+            size = shape[0] * shape[1]
+            out.append(
+                jnp.asarray(templates[:, off : off + size].reshape((C,) + shape))
+            )
+            off += size
+        return out
+
+    def _build_folded(self) -> Callable:
+        """Template-contraction scoring: per-target cost is 3 lookups.
+
+        The decision's xz contribution for a target at plane index j is
+        ⟨A_xz_c, cube[:, j, :]⟩ — so contracting the WHOLE cube with
+        the template once, M1[c, y] = Σ_xz A_xz[c, x, z]·cube[x, y, z],
+        turns every target's contribution into the table read M1[c, j]
+        (similarly M2[c, i] for yz and M3[c, k] for xy). Three einsums
+        per scan replace all per-target slicing/matvecs; the number of
+        targets becomes free.
+        """
+        scan = self.scan_arena
+        t_xz, t_yz, t_xy = self._split_templates()
         intercept = self.model.intercept
         calib = self.calibration
         min_proba = self.min_proba
-        proj_mask = self.proj_mask
-        p = jax.lax.Precision.HIGHEST
+        p = jax.lax.Precision.HIGHEST  # bandwidth-bound; precision is free
 
-        def per_target_native(cube, xyz):
-            i, j, k = scan.clamped_matrix_indices(xyz[0], xyz[1], xyz[2])
-            parts = []
-            if proj_mask[0]:
-                parts.append(
-                    jax.lax.dynamic_index_in_dim(cube, j, 1, keepdims=False)
-                    .reshape(-1)
+        idx_fn = jax.vmap(
+            jax.vmap(
+                lambda xyz: jnp.stack(
+                    scan.clamped_matrix_indices(xyz[0], xyz[1], xyz[2])
                 )
-            if proj_mask[1]:
-                parts.append(
-                    jax.lax.dynamic_index_in_dim(cube, i, 0, keepdims=False)
-                    .reshape(-1)
-                )
-            if proj_mask[2]:
-                parts.append(
-                    jax.lax.dynamic_index_in_dim(cube, k, 2, keepdims=False)
-                    .reshape(-1)
-                )
-            return jnp.concatenate(parts)
-
-        feat_fn = jax.vmap(
-            jax.vmap(per_target_native, in_axes=(None, 0)), in_axes=(0, 0)
+            )
         )
 
         @jax.jit
         def predict_batch(cubes, target_xyz, target_valid):
             B, T = target_xyz.shape[:2]
-            native = feat_fn(cubes, target_xyz).reshape(B * T, -1)
-            dec = (
-                jnp.einsum("nf,cf->nc", native, templates, precision=p)
-                + intercept[None, :]
+            ijk = idx_fn(target_xyz)  # (B, T, 3) int32
+            dec = jnp.broadcast_to(
+                intercept[None, None, :], (B, T, intercept.shape[0])
             )
+            if t_xz is not None:
+                M1 = jnp.einsum("cxz,bxyz->bcy", t_xz, cubes, precision=p)
+                dec = dec + jnp.take_along_axis(
+                    M1[:, None, :, :].repeat(T, 1),
+                    ijk[..., 1][..., None, None],
+                    axis=3,
+                )[..., 0]
+            if t_yz is not None:
+                M2 = jnp.einsum("cyz,bxyz->bcx", t_yz, cubes, precision=p)
+                dec = dec + jnp.take_along_axis(
+                    M2[:, None, :, :].repeat(T, 1),
+                    ijk[..., 0][..., None, None],
+                    axis=3,
+                )[..., 0]
+            if t_xy is not None:
+                M3 = jnp.einsum("cxy,bxyz->bcz", t_xy, cubes, precision=p)
+                dec = dec + jnp.take_along_axis(
+                    M3[:, None, :, :].repeat(T, 1),
+                    ijk[..., 2][..., None, None],
+                    axis=3,
+                )[..., 0]
+            dec = dec.reshape(B * T, -1)
             if calib is not None:
                 proba = calibrated_from_decision(dec, calib)
             else:

@@ -1,27 +1,25 @@
 """Pallas TPU kernel: fused scan→scores for the folded linear pipeline.
 
-The folded predict path (models/pipeline.py `_build_folded`) reduces
-per-target work to ⟨template_c, native plane slices⟩. The XLA
-formulation gathers the three planes of every (scan, target) pair into
-a (B·T, F) matrix in HBM, then matmuls — paying an extra HBM
-write+read of the gathered features and a strided-gather for the
-cube[:, j, :] and cube[:, :, k] slices.
+The folded predict path (models/pipeline.py `_build_folded`) scores a
+target by three table lookups after contracting the whole cube against
+each per-plane class template: M1[c, y] = Σ_xz A_xz[c,x,z]·cube[x,y,z]
+(and M2 over x, M3 over z); a target at cell (i, j, k) scores
+M1[c, j] + M2[c, i] + M3[c, k] + b_c. The XLA formulation runs the
+three contractions as separate einsums — three HBM passes over the
+cube batch.
 
-This kernel removes both: the grid runs one step per scan, Pallas
-pipelines each (X, Y, Z) cube block HBM→VMEM (contiguous streaming at
-full bandwidth, double-buffered against compute), and the kernel
-slices the planes for all T targets out of VMEM and contracts them
-with the VMEM-resident templates directly. Per-scan traffic is exactly
-one cube read; features never exist in HBM.
-
-Target indices arrive as per-step (1, T, 3) SMEM blocks — small
-enough to stay resident and never touched by the index maps.
+This kernel does all three contractions in ONE pass: the grid runs a
+step per scan, Pallas pipelines each (X, Y, Z) cube block HBM→VMEM
+(contiguous streaming, double-buffered), and the kernel reduces the
+VMEM-resident cube against the three templates and resolves every
+target's lookups via one-hot matmuls (dynamic indexing on tiled dims
+is not Mosaic-expressible). Per-scan HBM traffic is exactly one cube
+read; per-target cost is three tiny matmuls.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +30,7 @@ __all__ = ["fused_native_score"]
 
 
 def _kernel(ijk_ref, cube_ref, txz_ref, tyz_ref, txy_ref, b_ref, out_ref):
-    """One scan: score T targets against C class templates.
+    """One scan: contraction tables + per-target one-hot lookups.
 
     cube_ref: (1, X, Y, Z) VMEM block of this scan's cube.
     t??_ref:  (C, ·, ·) plane templates (VMEM, whole array).
@@ -44,37 +42,55 @@ def _kernel(ijk_ref, cube_ref, txz_ref, tyz_ref, txy_ref, b_ref, out_ref):
     C = out_ref.shape[2]
     X, Y, Z = cube_ref.shape[1], cube_ref.shape[2], cube_ref.shape[3]
     cube = cube_ref[0]  # (X, Y, Z)
+
+    # Contraction tables, one VMEM pass over the cube per class/plane.
+    m1_rows, m2_rows, m3_rows = [], [], []
+    for c in range(C):
+        # Multi-axis reductions lower cleanly; staged lane-then-
+        # untiled reductions hit a Mosaic relayout bug.
+        m1_rows.append(
+            jnp.sum(cube * txz_ref[c, :, :][:, None, :], axis=(0, 2))
+        )  # (Y,)
+        # Reducing both tiled dims at once (axis=(1,2)) SIGABRTs the
+        # compiler; stage lane-reduce then lane-reduce instead.
+        m2_rows.append(
+            jnp.sum(
+                jnp.sum(cube * tyz_ref[c, :, :][None, :, :], axis=2), axis=1
+            )
+        )  # (X,)
+        m3_rows.append(
+            jnp.sum(cube * txy_ref[c, :, :][:, :, None], axis=(0, 1))
+        )  # (Z,)
+    M1 = jnp.stack(m1_rows)  # (C, Y)
+    M2 = jnp.stack(m2_rows)  # (C, X)
+    M3 = jnp.stack(m3_rows)  # (C, Z)
+
     for t in range(T):  # static unroll; T is small (≤8)
         i = ijk_ref[0, t, 0]
         j = ijk_ref[0, t, 1]
         k = ijk_ref[0, t, 2]
-        # yz = cube[i, :, :] → dynamic index on an untiled dim: allowed.
-        yz = cube_ref[0, pl.ds(i, 1), :, :][0, :, :]
-        # Dynamic indices on the tiled (sublane/lane) dims are not
-        # Mosaic-expressible for arbitrary offsets, and neither are
-        # flattening reshapes — so the xz and xy slices become one-hot
-        # MXU contractions with a leading-singleton result:
-        # xz[x, z] = Σ_y 1[y == j]·cube[x, y, z],
-        # xy[x, y] = Σ_z 1[z == k]·cube[x, y, z].
+        # Table lookups as one-hot matmuls (dynamic tiled-dim indexing
+        # is not expressible in Mosaic).
         oh_j = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1) == j
+            jax.lax.broadcasted_iota(jnp.int32, (Y, 1), 0) == j
         ).astype(jnp.float32)
-        xz = jnp.sum(cube * oh_j, axis=1)  # (X, Z)
+        oh_i = (
+            jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0) == i
+        ).astype(jnp.float32)
         oh_k = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z), 2) == k
+            jax.lax.broadcasted_iota(jnp.int32, (Z, 1), 0) == k
         ).astype(jnp.float32)
-        xy = jnp.sum(cube * oh_k, axis=2)  # (X, Y)
-        # Per-class template dot as an elementwise product + full
-        # reduction on the VPU (C is tiny; no reshape needed), stored
-        # as one row vector (scalar stores to VMEM are not allowed).
-        dec = jnp.stack(
-            [
-                jnp.sum(txz_ref[c, :, :] * xz)
-                + jnp.sum(tyz_ref[c, :, :] * yz)
-                + jnp.sum(txy_ref[c, :, :] * xy)
-                + b_ref[c]
-                for c in range(C)
-            ]
+        dec = (
+            jnp.sum(jax.lax.dot_general(
+                M1, oh_j, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), axis=1)
+            + jnp.sum(jax.lax.dot_general(
+                M2, oh_i, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), axis=1)
+            + jnp.sum(jax.lax.dot_general(
+                M3, oh_k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), axis=1)
+            + b_ref[:]
         )
         out_ref[0, t, :] = dec
 
