@@ -95,8 +95,20 @@ class StreamingClassifier:
 
     # -- ingest ------------------------------------------------------------
     def _ingest_loop(self, scan_source: Callable):
+        consecutive_errors = 0
         while not self._stop.is_set():
-            out = scan_source()
+            try:
+                out = scan_source()
+            except Exception:
+                # A failing sensor must not silently kill the service;
+                # log, back off, keep trying (bounded exponential).
+                consecutive_errors += 1
+                logger.exception(
+                    "scan source error (%d consecutive)", consecutive_errors
+                )
+                self._stop.wait(min(0.1 * 2**consecutive_errors, 5.0))
+                continue
+            consecutive_errors = 0
             if out is None:
                 continue
             cube, targets = out

@@ -88,3 +88,24 @@ def test_queue_drops_when_consumer_stalls(predictor):
     t.join(2)
     assert svc.dropped > 0
     assert svc._q.qsize() <= 4
+
+
+def test_ingest_survives_source_errors(predictor):
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("sensor hiccup")
+        cube = np.zeros(DEFAULT_ARENA.grid_shape, np.float32)
+        return cube, [(0.0, 0.0, 100.0)]
+
+    svc = StreamingClassifier(predictor, StreamConfig(max_batch=2,
+                                                      max_wait_s=0.01))
+    svc.start(flaky)
+    deadline = time.time() + 15
+    while svc.processed < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    svc.stop()
+    assert svc.processed >= 2  # recovered after errors
+    assert len(calls) >= 3
