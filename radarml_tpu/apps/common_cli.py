@@ -15,12 +15,11 @@ models trained by the original code (reference predict.py:224-227).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import logging
 import os
 import pickle
 import sys
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

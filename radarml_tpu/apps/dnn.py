@@ -15,7 +15,6 @@ pickles exist; `--mesh N` shards the batch over an N-device mesh
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import logging
 import os
 import pickle

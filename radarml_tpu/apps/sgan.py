@@ -16,8 +16,6 @@ import argparse
 import logging
 import os
 
-import numpy as np
-
 from radarml_tpu.apps.common_cli import add_common_flags, setup_logging
 from radarml_tpu.data.labels import filter_samples
 from radarml_tpu.data.preprocess import preprocess_multiview

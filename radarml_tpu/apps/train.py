@@ -23,8 +23,6 @@ import logging
 import os
 import pickle
 import time
-from typing import Optional
-
 import numpy as np
 
 from radarml_tpu.apps.common_cli import (
@@ -34,7 +32,7 @@ from radarml_tpu.apps.common_cli import (
     save_model,
     setup_logging,
 )
-from radarml_tpu.core.arena import RADAR_MAX, ProjMask
+from radarml_tpu.core.arena import RADAR_MAX
 from radarml_tpu.data.labels import LabelEncoder, filter_samples
 from radarml_tpu.data.balance import balance_classes
 from radarml_tpu.data.split import train_val_test_split
@@ -240,7 +238,7 @@ def _fit_sgd(args, proj_mask, X_train, y_train, X_test, y_test) -> dict:
         from radarml_tpu.apps.common_cli import load_model as load_artifact
 
         prev_model, _ = load_artifact(args.svm_model)
-        from radarml_tpu.models.linear import SGDState, sgd_init
+        from radarml_tpu.models.linear import sgd_init
 
         cfg = SGDConfig()
         state = sgd_init(n_classes, F_bal.shape[1], cfg)

@@ -16,7 +16,6 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from radarml_tpu.core.arena import Arena, DEFAULT_ARENA
 from radarml_tpu.data.synthetic import DEFAULT_CLASSES, synth_cube
 from radarml_tpu.drivers.base import (
     RadarDriver,

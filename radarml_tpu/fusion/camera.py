@@ -11,8 +11,6 @@ single numpy/XLA-friendly broadcast over (targets × detections).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import numpy as np
 
 __all__ = ["MountConfig", "convert_coordinates", "pair_distances"]

@@ -16,7 +16,7 @@ resolution — see data/preprocess.py.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

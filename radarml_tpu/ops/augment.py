@@ -34,7 +34,7 @@ design; see SURVEY.md §7 hard part 3).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,7 @@ single jitted program.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

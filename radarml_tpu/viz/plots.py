@@ -15,7 +15,7 @@ touched by the CLI apps.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, Sequence, Tuple
 
 import matplotlib
 import numpy as np
