@@ -439,23 +439,39 @@ def train_sgan(
         "n_epochs=%d, n_batch=%d, 1/2=%d, b/e=%d, steps=%d",
         cfg.n_epochs, cfg.n_batch, half, bat_per_epo, n_steps,
     )
+    # Keep the dataset device-resident and gather batches on device:
+    # per-step host work is two tiny index uploads and one dispatch.
+    # (Uploading each batch and syncing losses per step costs seconds
+    # per step when the device sits behind a high-latency link.)
+    X_sup_d = jnp.asarray(X_sup)
+    y_sup_d = jnp.asarray(y_sup, jnp.int32)
+    X_d = jnp.asarray(X)
+
+    @jax.jit
+    def data_step(state, six, rix, key):
+        return step_fn(
+            state,
+            jnp.take(X_sup_d, six, axis=0),
+            jnp.take(y_sup_d, six, axis=0),
+            jnp.take(X_d, rix, axis=0),
+            key,
+        )
+
+    debug = logger.isEnabledFor(logging.DEBUG)
     t0 = time.perf_counter()
     for i in range(start_step, n_steps):
-        six = rng.integers(0, len(y_sup), half)
-        rix = rng.integers(0, X.shape[0], half)
+        six = jnp.asarray(rng.integers(0, len(y_sup), half), jnp.int32)
+        rix = jnp.asarray(rng.integers(0, X.shape[0], half), jnp.int32)
         key, sk = jax.random.split(key)
-        state, losses = step_fn(
-            state,
-            jnp.asarray(X_sup[six]), jnp.asarray(y_sup[six]),
-            jnp.asarray(X[rix]), sk,
-        )
-        logger.debug(
-            "Training results at step %d: c[%.3f,%.0f], d_r[%.3f], "
-            "d_f[%.3f], g[%.3f]",
-            i + 1, float(losses["c_loss"]), float(losses["c_acc"]) * 100,
-            float(losses["d_real"]), float(losses["d_fake"]),
-            float(losses["gan"]),
-        )
+        state, losses = data_step(state, six, rix, sk)
+        if debug:  # device sync — only when actually logging
+            logger.debug(
+                "Training results at step %d: c[%.3f,%.0f], d_r[%.3f], "
+                "d_f[%.3f], g[%.3f]",
+                i + 1, float(losses["c_loss"]), float(losses["c_acc"]) * 100,
+                float(losses["d_real"]), float(losses["d_fake"]),
+                float(losses["gan"]),
+            )
         if (i + 1) % every == 0:
             _summarize(
                 i, gen, disc, state, val_set, cfg, results_dir, key, on_summary
@@ -471,20 +487,47 @@ def train_sgan(
     return state
 
 
+_EVAL_CACHE: dict = {}
+
+
+def _eval_fn(disc: Discriminator):
+    """Jitted inference-mode logits fn, cached per discriminator."""
+    fn = _EVAL_CACHE.get(disc)
+    if fn is None:
+
+        @jax.jit
+        def fn(d_params, d_stats, xb):
+            views = tuple(xb[..., i : i + 1] for i in range(3))
+            return disc.apply(
+                {"params": d_params, "batch_stats": d_stats},
+                views, train=False,
+            )
+
+        _EVAL_CACHE[disc] = fn
+    return fn
+
+
 def classifier_eval(
     disc: Discriminator, state: SGANState, X: np.ndarray, y: np.ndarray,
     batch: int = 64,
 ) -> float:
-    """Supervised-head accuracy in inference mode."""
+    """Supervised-head accuracy in inference mode.
+
+    Ragged tails pad up to the batch size (one compiled program for the
+    whole eval) and padding rows are ignored in the count.
+    """
+    fn = _eval_fn(disc)
     correct = 0
     for s in range(0, len(y), batch):
-        xb = jnp.asarray(X[s : s + batch])
-        views = tuple(xb[..., i : i + 1] for i in range(3))
-        logits = disc.apply(
-            {"params": state.d_params, "batch_stats": state.d_stats},
-            views, train=False,
-        )
-        correct += int((np.asarray(logits).argmax(-1) == y[s : s + batch]).sum())
+        xb = np.asarray(X[s : s + batch])
+        n = xb.shape[0]
+        if n < batch:
+            xb = np.concatenate(
+                [xb, np.zeros((batch - n,) + xb.shape[1:], xb.dtype)]
+            )
+        logits = fn(state.d_params, state.d_stats, jnp.asarray(xb))
+        pred = np.asarray(logits).argmax(-1)[:n]
+        correct += int((pred == y[s : s + n]).sum())
     return correct / max(len(y), 1)
 
 
