@@ -29,70 +29,76 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_native_score"]
 
 
-def _kernel(ijk_ref, cube_ref, txz_ref, tyz_ref, txy_ref, b_ref, out_ref):
-    """One scan: contraction tables + per-target one-hot lookups.
+_SCANS_PER_STEP = 8  # grid-step batching amortizes per-step overhead
 
-    cube_ref: (1, X, Y, Z) VMEM block of this scan's cube.
+
+def _kernel(ijk_ref, cube_ref, txz_ref, tyz_ref, txy_ref, b_ref, out_ref):
+    """One grid step: S scans' contraction tables + one-hot lookups.
+
+    cube_ref: (S, X, Y, Z) VMEM block of this step's cubes.
     t??_ref:  (C, ·, ·) plane templates (VMEM, whole array).
     b_ref:    (C,) intercept.
-    out_ref:  (1, T, C) decisions.
-    ijk_ref:  (1, T, 3) int32 SMEM block of this scan's target cells.
+    out_ref:  (S, T, C) decisions.
+    ijk_ref:  (S, T, 3) int32 SMEM block of target cells.
     """
+    S = out_ref.shape[0]
     T = out_ref.shape[1]
     C = out_ref.shape[2]
     X, Y, Z = cube_ref.shape[1], cube_ref.shape[2], cube_ref.shape[3]
-    cube = cube_ref[0]  # (X, Y, Z)
 
-    # Contraction tables, one VMEM pass over the cube per class/plane.
-    m1_rows, m2_rows, m3_rows = [], [], []
-    for c in range(C):
-        # Multi-axis reductions lower cleanly; staged lane-then-
-        # untiled reductions hit a Mosaic relayout bug.
-        m1_rows.append(
-            jnp.sum(cube * txz_ref[c, :, :][:, None, :], axis=(0, 2))
-        )  # (Y,)
-        # Reducing both tiled dims at once (axis=(1,2)) SIGABRTs the
-        # compiler; stage lane-reduce then lane-reduce instead.
-        m2_rows.append(
-            jnp.sum(
-                jnp.sum(cube * tyz_ref[c, :, :][None, :, :], axis=2), axis=1
+    for s in range(S):
+        cube = cube_ref[s]  # (X, Y, Z)
+        # Contraction tables, one VMEM pass over the cube per
+        # class/plane. Multi-axis reductions lower cleanly EXCEPT
+        # reducing both tiled dims at once (axis=(1,2)) which SIGABRTs
+        # the compiler — stage lane-then-lane for M2; staged lane-then-
+        # untiled reductions hit a Mosaic relayout bug elsewhere.
+        m1_rows, m2_rows, m3_rows = [], [], []
+        for c in range(C):
+            m1_rows.append(
+                jnp.sum(cube * txz_ref[c, :, :][:, None, :], axis=(0, 2))
+            )  # (Y,)
+            m2_rows.append(
+                jnp.sum(
+                    jnp.sum(cube * tyz_ref[c, :, :][None, :, :], axis=2),
+                    axis=1,
+                )
+            )  # (X,)
+            m3_rows.append(
+                jnp.sum(cube * txy_ref[c, :, :][:, :, None], axis=(0, 1))
+            )  # (Z,)
+        M1 = jnp.stack(m1_rows)  # (C, Y)
+        M2 = jnp.stack(m2_rows)  # (C, X)
+        M3 = jnp.stack(m3_rows)  # (C, Z)
+
+        for t in range(T):  # static unroll; T is small (≤8)
+            i = ijk_ref[s, t, 0]
+            j = ijk_ref[s, t, 1]
+            k = ijk_ref[s, t, 2]
+            # Table lookups as one-hot matmuls (dynamic tiled-dim
+            # indexing is not expressible in Mosaic).
+            oh_j = (
+                jax.lax.broadcasted_iota(jnp.int32, (Y, 1), 0) == j
+            ).astype(jnp.float32)
+            oh_i = (
+                jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0) == i
+            ).astype(jnp.float32)
+            oh_k = (
+                jax.lax.broadcasted_iota(jnp.int32, (Z, 1), 0) == k
+            ).astype(jnp.float32)
+            dec = (
+                jnp.sum(jax.lax.dot_general(
+                    M1, oh_j, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32), axis=1)
+                + jnp.sum(jax.lax.dot_general(
+                    M2, oh_i, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32), axis=1)
+                + jnp.sum(jax.lax.dot_general(
+                    M3, oh_k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32), axis=1)
+                + b_ref[:]
             )
-        )  # (X,)
-        m3_rows.append(
-            jnp.sum(cube * txy_ref[c, :, :][:, :, None], axis=(0, 1))
-        )  # (Z,)
-    M1 = jnp.stack(m1_rows)  # (C, Y)
-    M2 = jnp.stack(m2_rows)  # (C, X)
-    M3 = jnp.stack(m3_rows)  # (C, Z)
-
-    for t in range(T):  # static unroll; T is small (≤8)
-        i = ijk_ref[0, t, 0]
-        j = ijk_ref[0, t, 1]
-        k = ijk_ref[0, t, 2]
-        # Table lookups as one-hot matmuls (dynamic tiled-dim indexing
-        # is not expressible in Mosaic).
-        oh_j = (
-            jax.lax.broadcasted_iota(jnp.int32, (Y, 1), 0) == j
-        ).astype(jnp.float32)
-        oh_i = (
-            jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0) == i
-        ).astype(jnp.float32)
-        oh_k = (
-            jax.lax.broadcasted_iota(jnp.int32, (Z, 1), 0) == k
-        ).astype(jnp.float32)
-        dec = (
-            jnp.sum(jax.lax.dot_general(
-                M1, oh_j, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32), axis=1)
-            + jnp.sum(jax.lax.dot_general(
-                M2, oh_i, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32), axis=1)
-            + jnp.sum(jax.lax.dot_general(
-                M3, oh_k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32), axis=1)
-            + b_ref[:]
-        )
-        out_ref[0, t, :] = dec
+            out_ref[s, t, :] = dec
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -113,14 +119,20 @@ def fused_native_score(
     B, X, Y, Z = cubes.shape
     T = ijk.shape[1]
     C = intercept.shape[0]
+    S = min(_SCANS_PER_STEP, B)
+    pad = (-B) % S
+    if pad:
+        cubes = jnp.pad(cubes, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        ijk = jnp.pad(ijk, ((0, pad), (0, 0), (0, 0)))
+    N = B + pad
     grid_spec = pl.GridSpec(
-        grid=(B,),
+        grid=(N // S,),
         in_specs=[
             pl.BlockSpec(
-                (1, T, 3), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
+                (S, T, 3), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, X, Y, Z), lambda b: (b, 0, 0, 0),
+                (S, X, Y, Z), lambda b: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -129,13 +141,13 @@ def fused_native_score(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (S, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, T, C), jnp.float32),
         interpret=interpret,
     )(
         ijk.astype(jnp.int32),
@@ -145,3 +157,4 @@ def fused_native_score(
         tmpl_xy.astype(jnp.float32),
         intercept.astype(jnp.float32),
     )
+    return out[:B]
