@@ -164,3 +164,19 @@ def test_train_app_augment_epochs(workdir):
     )
     assert out["kind"] == "linear"
     assert 0.0 <= out["metrics"]["accuracy"] <= 1.0
+
+
+def test_serve_app_streams_detections(workdir, trained):
+    from radarml_tpu.apps import serve as serve_app
+
+    stats = serve_app.main(
+        [
+            "--duration", "3",
+            "--mode", "fast",
+            "--min_proba", "0.0",
+            "--max_batch", "8",
+            "--driver", "synthetic",
+        ]
+    )
+    assert stats["processed"] > 0
+    assert stats["latency_p50_ms"] > 0
