@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["exact", "fast", "pallas"],
                    help="scoring path: exact reference math, folded "
                         "templates, or the fused Pallas kernel")
+    p.add_argument("--derived_targets", action="store_true",
+                   help="derive targets from the raw cube on-device "
+                        "instead of trusting the sensor's reports (the "
+                        "reference's dormant DerivedTarget path, "
+                        "common.py:45-80)")
     p.add_argument("--profile", type=str, default="",
                    help="write a jax.profiler device trace to this dir")
     add_driver_flags(p)
@@ -100,6 +105,20 @@ def main(argv=None) -> list:
                         radar.trigger()
                         targets = radar.get_sensor_targets()
                     scans += 1
+                    if args.derived_targets:
+                        with timer("read_image"):
+                            cube = radar.get_raw_image()
+                        with timer("derive_targets"):
+                            from radarml_tpu.core.arena import derive_targets
+
+                            tx, ty, tz, _amp = derive_targets(
+                                cube, arena, num_targets=1
+                            )
+                        cubes.append(cube)
+                        target_lists.append(
+                            [(float(tx[0]), float(ty[0]), float(tz[0]))]
+                        )
+                        continue
                     if not targets:
                         logger.debug("No targets.")
                         continue

@@ -180,3 +180,16 @@ def test_serve_app_streams_detections(workdir, trained):
     )
     assert stats["processed"] > 0
     assert stats["latency_p50_ms"] > 0
+
+
+def test_predict_app_derived_targets(workdir, trained):
+    from radarml_tpu.apps import predict as predict_app
+
+    results = predict_app.main(
+        [
+            "--num_scans", "3",
+            "--min_proba", "0.0",
+            "--derived_targets",
+        ]
+    )
+    assert len(results) >= 3  # one derived target per scan

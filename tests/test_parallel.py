@@ -125,3 +125,13 @@ def test_predictor_shards_over_mesh(rng):
     np.testing.assert_allclose(
         np.asarray(proba1), np.asarray(proba2), atol=1e-6
     )
+
+
+def test_two_axis_mesh_shape():
+    """make_mesh supports explicit (data, model) shapes for future
+    model-axis sharding (SURVEY §2.3: API room for TP, unused)."""
+    from radarml_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, shape=(4, 2), axis_names=("data", "model"))
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")
