@@ -30,6 +30,14 @@ BASELINE_SCANS_PER_SEC = 5.0
 def main():
     import jax
 
+    # Persistent compile cache: subsequent bench runs (and anything else
+    # in this repo) skip recompilation of unchanged programs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/radarml_jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from radarml_tpu.core.arena import DEFAULT_ARENA
     from radarml_tpu.data.labels import LabelEncoder
     from radarml_tpu.data.synthetic import make_dataset, make_scan_batch

@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batch", type=int, default=64)
     p.add_argument("--max_wait_ms", type=float, default=10.0)
     p.add_argument("--log_detections", action="store_true")
+    p.add_argument("--sensors", type=int, default=1,
+                   help="number of (synthetic) sensors to multiplex")
     add_driver_flags(p)
     add_common_flags(p)
     return p
@@ -118,11 +120,21 @@ def main(argv=None) -> dict:
     else:
         from radarml_tpu.drivers import RadarSession
 
-        driver = build_driver(args, DEFAULT_ARENA)
-        session = RadarSession(driver)
-        session.__enter__()
-        source = driver_scan_source(driver)
-        cleanup = lambda: session.__exit__(None, None, None)
+        sessions = []
+        sources = []
+        for s in range(max(args.sensors, 1)):
+            sensor_args = argparse.Namespace(**vars(args))
+            sensor_args.driver_seed = args.driver_seed + s
+            driver = build_driver(sensor_args, DEFAULT_ARENA)
+            session = RadarSession(driver)
+            session.__enter__()
+            sessions.append(session)
+            sources.append(driver_scan_source(driver))
+        source = sources if len(sources) > 1 else sources[0]
+
+        def cleanup():
+            for session in sessions:
+                session.__exit__(None, None, None)
 
     svc.start(source)
     try:

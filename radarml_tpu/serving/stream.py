@@ -82,8 +82,9 @@ class StreamingClassifier:
         self.on_detection = on_detection
         self._q: "queue.Queue[Scan]" = queue.Queue(cfg.queue_depth)
         self._stop = threading.Event()
-        self._ingest_thread: Optional[threading.Thread] = None
+        self._ingest_threads: List[threading.Thread] = []
         self._predict_thread: Optional[threading.Thread] = None
+        self._seq_lock = threading.Lock()
         # stats
         self.ingest_rate = RateMeter()
         self.classify_rate = RateMeter()
@@ -112,8 +113,10 @@ class StreamingClassifier:
             if out is None:
                 continue
             cube, targets = out
-            scan = Scan(cube, targets, time.perf_counter(), self._seq)
-            self._seq += 1
+            with self._seq_lock:
+                seq = self._seq
+                self._seq += 1
+            scan = Scan(cube, targets, time.perf_counter(), seq)
             self.ingest_rate.tick()
             try:
                 self._q.put_nowait(scan)
@@ -184,21 +187,32 @@ class StreamingClassifier:
                         self.on_detection(d)
 
     # -- lifecycle ---------------------------------------------------------
-    def start(self, scan_source: Callable):
+    def start(self, scan_source):
+        """Start serving. `scan_source` is one callable or a list of
+        them — one ingest thread per sensor, all feeding the shared
+        batcher (a fleet of radars multiplexed onto one chip)."""
+        sources = (
+            list(scan_source) if isinstance(scan_source, (list, tuple))
+            else [scan_source]
+        )
         self._stop.clear()
         self._predict_thread = threading.Thread(
             target=self._predict_loop, name="predict", daemon=True
         )
-        self._ingest_thread = threading.Thread(
-            target=self._ingest_loop, args=(scan_source,), name="ingest",
-            daemon=True,
-        )
+        self._ingest_threads = [
+            threading.Thread(
+                target=self._ingest_loop, args=(src,),
+                name=f"ingest-{n}", daemon=True,
+            )
+            for n, src in enumerate(sources)
+        ]
         self._predict_thread.start()
-        self._ingest_thread.start()
+        for t in self._ingest_threads:
+            t.start()
 
     def stop(self, timeout: float = 5.0):
         self._stop.set()
-        for t in (self._ingest_thread, self._predict_thread):
+        for t in [*self._ingest_threads, self._predict_thread]:
             if t is not None:
                 t.join(timeout)
 

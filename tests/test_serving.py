@@ -109,3 +109,25 @@ def test_ingest_survives_source_errors(predictor):
     svc.stop()
     assert svc.processed >= 2  # recovered after errors
     assert len(calls) >= 3
+
+
+def test_multi_sensor_ingest(predictor):
+    """A fleet of sources multiplexes onto one shared batcher."""
+    cube = np.zeros(DEFAULT_ARENA.grid_shape, np.float32)
+
+    def make_source(sensor_id):
+        def src():
+            time.sleep(0.01)
+            return cube, [(float(sensor_id), 0.0, 100.0)]
+        return src
+
+    svc = StreamingClassifier(predictor, StreamConfig(max_batch=8,
+                                                      max_wait_s=0.02))
+    svc.start([make_source(i) for i in range(3)])
+    deadline = time.time() + 15
+    while svc.processed < 12 and time.time() < deadline:
+        time.sleep(0.05)
+    svc.stop()
+    assert svc.processed >= 12
+    # sequence numbers unique across sensors
+    assert svc._seq >= svc.processed
