@@ -79,3 +79,28 @@ def test_early_stopping_triggers():
     cfg = TrainConfig(batch_size=6, epochs=100, patience=3)
     _, history = train_cnn(model, params, X, y, X, y, config=cfg)
     assert len(history["loss"]) < 100
+
+
+def test_train_cnn_mesh_matches_single_device():
+    """DP-sharded training is the same math: replicated params, sharded
+    batch, XLA-inserted gradient reduction — history matches the
+    single-device run."""
+    from radarml_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    rescale = (16, 16)
+    n = 32
+    X = rng.normal(size=(n,) + rescale + (3,)).astype(np.float32)
+    y = (np.arange(n) % 3).astype(np.int64)
+    model, params = _init(rescale=rescale)
+    cfg = TrainConfig(batch_size=8, epochs=3, patience=10)
+    _, hist_single = train_cnn(model, params, X, y, X[:8], y[:8], config=cfg)
+    _, hist_mesh = train_cnn(
+        model, params, X, y, X[:8], y[:8], config=cfg, mesh=make_mesh(8)
+    )
+    np.testing.assert_allclose(
+        hist_mesh["loss"], hist_single["loss"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        hist_mesh["val_loss"], hist_single["val_loss"], rtol=1e-4
+    )

@@ -125,3 +125,42 @@ def test_scan_batch_targets_consistent():
     for c, t in zip(cubes, targets):
         # planted blob should dominate its neighborhood
         assert c[t.i, t.j, t.k] > np.median(c) + 50
+
+
+def test_preprocess_scaling_conventions(rng):
+    """Scale conventions match the reference: /255 (SVM), [-1,1]
+    (DNN/SGAN), and the SGAN unscale roundtrip (sgan.py:464)."""
+    from radarml_tpu.core.arena import RADAR_MAX
+    from radarml_tpu.data.preprocess import (
+        scale_to_symmetric,
+        scale_to_unit_interval,
+        unscale_from_symmetric,
+    )
+
+    planes = rng.random((4, 5)) * RADAR_MAX
+    np.testing.assert_allclose(
+        scale_to_unit_interval(planes), planes / 255.0
+    )
+    sym = scale_to_symmetric(planes)
+    assert sym.min() >= -1.0 and sym.max() <= 1.0
+    np.testing.assert_allclose(unscale_from_symmetric(sym), planes, atol=1e-9)
+
+
+def test_preprocess_multiview_shapes_and_split(rng):
+    from radarml_tpu.data.preprocess import preprocess_multiview
+    from radarml_tpu.data.synthetic import make_dataset
+
+    samples, labels = make_dataset(20, seed=3)
+    pre = preprocess_multiview(samples, labels, rescale=(16, 16),
+                               train_split=0.75)
+    assert pre["X_train"].shape == (15, 16, 16, 3)
+    assert pre["X_val"].shape == (5, 16, 16, 3)
+    # Bicubic resampling overshoots slightly beyond [-1, 1] — exactly
+    # as PIL's float-mode BICUBIC does in the reference (dnn.py:243).
+    assert pre["X_train"].min() >= -1.2 and pre["X_train"].max() <= 1.2
+    assert pre["n_classes"] == len(pre["label_encoder"].classes_)
+    # SGAN empty-val fallback (sgan.py:722-723)
+    pre2 = preprocess_multiview(samples, labels, rescale=(16, 16),
+                                train_split=1.0,
+                                sup_mask=[True] * len(labels))
+    assert pre2["X_val"].shape[0] > 0
