@@ -102,6 +102,13 @@ def main():
         jax.block_until_ready((pred, best_p))
         rates[name] = BATCH * ITERS / (time.perf_counter() - t0)
 
+    if not rates:
+        # Keep the one-JSON-line contract even in total regression.
+        print(json.dumps({"metric": "radar scans/sec (preprocess+classify) per chip",
+                          "value": 0.0, "unit": "scans/s", "vs_baseline": 0.0,
+                          "error": "all predictor modes failed warmup"}))
+        sys.exit(1)
+
     best_mode = max(rates, key=rates.get)
     scans_per_sec = rates[best_mode]
     predictor = predictors[best_mode]

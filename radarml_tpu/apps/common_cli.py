@@ -128,6 +128,20 @@ def load_label_encoder(path: str) -> LabelEncoder:
     return LabelEncoder(classes_=[str(c) for c in obj.classes_])
 
 
+def load_model_meta(path: str) -> dict:
+    """Raw artifact payload for this framework's v1 pickles.
+
+    Returns {} for reference sklearn pickles (they carry hyperparams in
+    the estimator object instead). Used by online learning to resume
+    the SGD schedule (cfg + step counter t) the artifact trained with.
+    """
+    with open(path, "rb") as fp:
+        obj = pickle.load(fp)
+    if isinstance(obj, dict) and obj.get("format") == "radarml_tpu.v1":
+        return obj
+    return {}
+
+
 def load_model(path: str):
     """Load a scoring model: returns (model, calibration_or_None).
 

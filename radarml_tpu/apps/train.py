@@ -163,12 +163,21 @@ def main(argv=None) -> dict:
 
             proba = np.asarray(predict_proba_log_loss(model, X_test_fv))
         y_pred = proba.argmax(1)
+        import dataclasses as _dc
+
+        sgd_cfg = result.get("cfg")
+        sgd_state = result.get("state")
         save_model(
             args.svm_model, "linear",
             coef=np.asarray(model.coef), intercept=np.asarray(model.intercept),
             calib_a=None if calib is None else np.asarray(calib.a),
             calib_b=None if calib is None else np.asarray(calib.b),
             classes=class_names,
+            # Hyperparameters + schedule position so --online_learn can
+            # continue this exact estimator (reference keeps them inside
+            # the sklearn pickle, train.py:409-416).
+            sgd_cfg=None if sgd_cfg is None else _dc.asdict(sgd_cfg),
+            sgd_t=None if sgd_state is None else float(sgd_state.t),
         )
     else:
         from radarml_tpu.models import svc as jsvc
@@ -232,19 +241,34 @@ def _fit_sgd(args, proj_mask, X_train, y_train, X_test, y_test) -> dict:
         )
         res.log_summary(args.folds)
         model, cfg = res.best_model
-        state = None
+        state = res.best_state
     else:
         logger.info("Running partial fit with new data.")
-        from radarml_tpu.apps.common_cli import load_model as load_artifact
+        from radarml_tpu.apps.common_cli import (
+            load_model as load_artifact,
+            load_model_meta,
+        )
 
         prev_model, _ = load_artifact(args.svm_model)
         from radarml_tpu.models.linear import sgd_init
 
-        cfg = SGDConfig()
+        # Resume the artifact's hyperparameters and eta-schedule
+        # position — the reference partial_fits the unpickled estimator
+        # itself, retaining its alpha/penalty/average/t_
+        # (train.py:409-416). Reference sklearn pickles and pre-v2
+        # artifacts lack the metadata and fall back to defaults.
+        meta = load_model_meta(args.svm_model)
+        cfg = (
+            SGDConfig(**meta["sgd_cfg"]) if meta.get("sgd_cfg") else SGDConfig()
+        )
         state = sgd_init(n_classes, F_bal.shape[1], cfg)
         state = state._replace(
             coef=prev_model.coef, intercept=prev_model.intercept
         )
+        if meta.get("sgd_t") is not None:
+            import jax.numpy as jnp
+
+            state = state._replace(t=jnp.float32(meta["sgd_t"]))
         state = sgd_fit(
             F_bal, y_bal, n_classes, cfg, state=state, seed=RANDOM_SEED,
             epochs=args.grid_epochs,
@@ -261,8 +285,11 @@ def _fit_sgd(args, proj_mask, X_train, y_train, X_test, y_test) -> dict:
         xz, yz, xy = stack_samples(X_train)
         key = jax.random.PRNGKey(RANDOM_SEED)
         if state is None:
-            state = sgd_init(n_classes, F_bal.shape[1], SGDConfig())
+            state = sgd_init(n_classes, F_bal.shape[1], cfg)
             state = state._replace(coef=model.coef, intercept=model.intercept)
+        # Continue with the winner's hyperparameters and schedule state
+        # — the reference partial_fits the best estimator itself
+        # (train.py:419-438), not a fresh default one.
         for e in range(args.epochs):
             key, ek = jax.random.split(key)
             (axz, ayz, axy), ay = augment_samples(
@@ -274,14 +301,14 @@ def _fit_sgd(args, proj_mask, X_train, y_train, X_test, y_test) -> dict:
                    for i in range(len(ay))]
             F_aug = process_samples(aug, proj_mask=proj_mask, scale=True)
             yb, Fb = balance_classes(ay, F_aug)
-            state = _fit(Fb, yb, n_classes, SGDConfig(), state=state, epochs=1)
-            model = sgd_model(state, SGDConfig())
+            state = _fit(Fb, yb, n_classes, cfg, state=state, epochs=1)
+            model = sgd_model(state, cfg)
             acc = float(
                 (np.asarray(linear_predict(model, F_test)) == y_test).mean()
             )
             logger.debug("Augment epoch %d accuracy: %.4f", e, acc)
 
-    return {"kind": "linear", "model": model, "cfg": cfg}
+    return {"kind": "linear", "model": model, "cfg": cfg, "state": state}
 
 
 def _fit_svc(args, proj_mask, X_train, y_train) -> dict:

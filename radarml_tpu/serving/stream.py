@@ -163,6 +163,22 @@ class StreamingClassifier:
                 [(t[0], t[1], t[2]) for t in s.targets] for s in batch
             ]
             xyz, valid = pad_targets(target_lists, self.cfg.max_targets)
+            # Pad every batch to max_batch so one compiled program
+            # serves all batch sizes: a shape-static jit otherwise
+            # recompiles per distinct size (30-90 s each over the TPU
+            # tunnel), defeating the warmup. Padded rows have
+            # valid=False and are never emitted below.
+            pad = self.cfg.max_batch - len(batch)
+            if pad > 0:
+                cubes = np.concatenate(
+                    [cubes, np.zeros((pad,) + cubes.shape[1:], cubes.dtype)]
+                )
+                xyz = np.concatenate(
+                    [xyz, np.zeros((pad,) + xyz.shape[1:], xyz.dtype)]
+                )
+                valid = np.concatenate(
+                    [valid, np.zeros((pad,) + valid.shape[1:], valid.dtype)]
+                )
             pred, proba, _ = self.predictor(cubes, xyz, valid)
             pred = np.asarray(pred)
             proba = np.asarray(proba)

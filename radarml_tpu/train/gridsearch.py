@@ -113,6 +113,11 @@ class GridSearchResult:
     best_score: float
     best_model: object
     cv_results: List[Dict]
+    # Full optimizer state of the refit winner (SGD family): carries the
+    # eta-schedule position t and averaging accumulators so later
+    # partial_fit continues the schedule instead of restarting it — the
+    # reference partial_fits the refit best_estimator_ (train.py:419-438).
+    best_state: object = None
 
     def log_summary(self, folds: int):
         """Reference log shape (train.py:376-381)."""
@@ -241,14 +246,19 @@ def grid_search_sgd(
             state = jax.tree.map(lambda a: a[0], states)
         else:
             state = sgd_fit(Xa, ya, n_classes, cfg, epochs=epochs, seed=seed)
-        return (sgd_model(state, cfg), cfg)
+        return (sgd_model(state, cfg), cfg, state)
 
     if vmap_candidates:
-        return _run_grid_sgd_batched(
+        res = _run_grid_sgd_batched(
             X, y, grid or SGD_PARAM_GRID, n_classes, folds, epochs, seed,
             make_cfg, refit, tol,
         )
-    return _run_grid(X, y, grid or SGD_PARAM_GRID, fit_score, refit, folds)
+    else:
+        res = _run_grid(X, y, grid or SGD_PARAM_GRID, fit_score, refit, folds)
+    model, cfg, state = res.best_model
+    res.best_model = (model, cfg)
+    res.best_state = state
+    return res
 
 
 def _run_grid_sgd_batched(

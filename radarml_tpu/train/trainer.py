@@ -89,8 +89,11 @@ def train_cnn(
     # over batches) so the host never syncs per batch — essential when
     # the device sits behind a high-latency link, and simply faster
     # everywhere (the per-batch Python loop was dispatch-bound).
-    bs = config.batch_size
     n = len(y_train)
+    # Clamp to the dataset size: tiny captured datasets (< batch_size
+    # after splitting) train as one full batch instead of tracing a
+    # reshape that is larger than the permutation.
+    bs = max(min(config.batch_size, n), 1)
     n_batches = max(n // bs, 1)
     n_used = n_batches * bs  # drop the ragged tail batch per epoch
     Xd = jnp.asarray(X_train)
@@ -149,10 +152,12 @@ def train_cnn(
     for epoch in range(config.epochs):
         t0 = time.perf_counter()
         perm = jnp.asarray(rng.permutation(n))
+        # Distinct dropout stream per epoch: fold_in decorrelates epochs
+        # (re-splitting the same base key would replay epoch e's batch
+        # masks in epoch e+1, offset by one batch).
         params, opt_state, ep_loss, ep_acc = train_epoch(
-            params, opt_state, key, perm
+            params, opt_state, jax.random.fold_in(key, epoch), perm
         )
-        key, _ = jax.random.split(key)
         if len(yv):
             val_loss_d, val_acc_d = eval_all(params)
             val_loss, val_acc = float(val_loss_d), float(val_acc_d)

@@ -104,3 +104,18 @@ def test_train_cnn_mesh_matches_single_device():
     np.testing.assert_allclose(
         hist_mesh["val_loss"], hist_single["val_loss"], rtol=1e-4
     )
+
+
+def test_train_cnn_dataset_smaller_than_batch():
+    """A captured dataset below --batch_size trains as one full batch
+    instead of raising at trace time (default dnn batch is 64)."""
+    rng = np.random.default_rng(2)
+    rescale = (16, 16)
+    n = 9
+    X = rng.normal(size=(n,) + rescale + (3,)).astype(np.float32)
+    y = (np.arange(n) % 3).astype(np.int64)
+    model, params = _init(rescale=rescale)
+    cfg = TrainConfig(batch_size=64, epochs=2, patience=5)
+    _, history = train_cnn(model, params, X, y, X, y, config=cfg)
+    assert len(history["loss"]) == 2
+    assert np.isfinite(history["loss"]).all()
