@@ -14,6 +14,18 @@ device-resident when timed (the radar itself, not the chip, bounds
 ingest in the real system; the metric isolates per-chip compute
 throughput).
 
+Timing methodology (important on this tunneled dev TPU): the axon
+backend's `block_until_ready` can return before execution completes,
+so naive dispatch loops measure enqueue overhead, not device time —
+round 1's published numbers suffered exactly this. Every rate here is
+a SLOPE: run K_lo and K_hi back-to-back dispatches, force completion
+with a device→host fetch of a tiny output slice, and divide the time
+difference by (K_hi - K_lo) — fixed per-call overhead (including the
+~28 ms tunnel round-trip) cancels.
+
+Scan cubes are integer-valued (the radar's raw image is 8-bit,
+reference predict.py:90-91), so the bf16-ingest modes are lossless.
+
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
@@ -25,6 +37,73 @@ import time
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 5.0
+BATCH = 2048
+MAX_TARGETS = 4
+
+
+def slope_time(call, fetch, k_lo=2, k_hi=12, reps=3):
+    """Seconds per call via two-point slope with forced completion."""
+    times = {}
+    for k in (k_lo, k_hi):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(k):
+                out = call()
+            fetch(out)
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+
+
+def device_latency_ms(predictor, cube1, xyz1, valid1, n_lo=64, n_hi=1024):
+    """On-device single-scan latency, excluding dispatch overhead.
+
+    Runs N data-dependent single-scan predict steps inside ONE
+    lax.scan dispatch (scan iterations execute strictly sequentially)
+    for two values of N and takes the slope — per-dispatch overhead
+    (the ~28 ms HTTP tunnel) cancels. Each step streams its own cube
+    from HBM, so the measured step is the full preprocess+classify
+    program the reference times at ~8-10 ms/target on the Pi 4
+    (BASELINE.md; predict.log 05:53:22,923→,931).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fn = predictor._fn
+
+    def make_chain(n):
+        @jax.jit
+        def run(cubes_n, xyz, valid):
+            def body(acc, c):
+                pred, best_p, _ = fn(c[None], xyz, valid)
+                return acc + jnp.sum(best_p), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0), cubes_n)
+            return acc
+
+        return run
+
+    rng = np.random.default_rng(3)
+    cube_np = np.asarray(cube1, np.float32)[0]
+    times = {}
+    for n in (n_lo, n_hi):
+        cubes_n = jnp.asarray(
+            np.rint(
+                cube_np[None] * rng.uniform(0.9, 1.1, size=(n, 1, 1, 1))
+            ).astype(np.float32),
+            dtype=jnp.dtype(predictor.cube_dtype),
+        )
+        chain = make_chain(n)
+        _ = jax.device_get(chain(cubes_n, xyz1, valid1))  # compile
+        reps = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _ = jax.device_get(chain(cubes_n, xyz1, valid1))
+            reps.append(time.perf_counter() - t0)
+        times[n] = float(np.min(reps))
+    return (times[n_hi] - times[n_lo]) / (n_hi - n_lo) * 1e3
 
 
 def main():
@@ -37,6 +116,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    import jax.numpy as jnp
 
     from radarml_tpu.core.arena import DEFAULT_ARENA
     from radarml_tpu.data.labels import LabelEncoder
@@ -66,41 +147,42 @@ def main():
         calibration=calib,
         min_proba=0.7,
     )
-    # Exact mode reproduces the reference math stage-by-stage; fast
-    # mode folds the linear pipeline into native-resolution templates
-    # (models/pipeline.py _folded_templates) — same predictions, one
-    # matvec per target.
+    # exact: reference math stage-by-stage. fast: model folded into
+    # native-resolution templates + whole-cube contraction tables
+    # (models/pipeline.py). fast_bf16/pallas: the same on a bf16 scan
+    # stream (lossless for 8-bit radar data; halves HBM traffic).
     predictors = {
         "exact": RadarPredictor(mode="exact", **kw),
         "fast": RadarPredictor(mode="fast", **kw),
-        "pallas": RadarPredictor(mode="pallas", **kw),
+        "fast_bf16": RadarPredictor(mode="fast", cube_dtype="bfloat16", **kw),
+        "pallas": RadarPredictor(mode="pallas", cube_dtype="bfloat16", **kw),
     }
 
     # --- benchmark input: batch of scans, 4 target slots each ------------
-    BATCH = 512
-    MAX_TARGETS = 4
     cubes_np, targets = make_scan_batch(BATCH, seed=7)
+    cubes_np = np.rint(cubes_np)  # 8-bit radar range → bf16-exact
     xyz_np, valid_np = pad_targets(
         [[(t.x, t.y, t.z)] for t in targets], max_targets=MAX_TARGETS
     )
-    cubes = jax.device_put(cubes_np)
     xyz = jax.device_put(xyz_np)
     valid = jax.device_put(valid_np)
 
-    ITERS = 30
     rates = {}
     for name, predictor in predictors.items():
+        cubes = jax.device_put(
+            jnp.asarray(cubes_np, dtype=jnp.dtype(predictor.cube_dtype))
+        )
         try:
             pred, best_p, _ = predictor(cubes, xyz, valid)  # warmup/compile
-            jax.block_until_ready((pred, best_p))
+            _ = jax.device_get(pred[:1])
         except Exception as e:  # keep the bench robust to kernel regressions
             print(f"# mode {name} failed: {type(e).__name__}", file=sys.stderr)
             continue
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            pred, best_p, _ = predictor(cubes, xyz, valid)
-        jax.block_until_ready((pred, best_p))
-        rates[name] = BATCH * ITERS / (time.perf_counter() - t0)
+        per_batch = slope_time(
+            lambda: predictor(cubes, xyz, valid),
+            lambda out: jax.device_get(out[0][:1]),
+        )
+        rates[name] = BATCH / per_batch
 
     if not rates:
         # Keep the one-JSON-line contract even in total regression.
@@ -113,17 +195,28 @@ def main():
     scans_per_sec = rates[best_mode]
     predictor = predictors[best_mode]
 
-    # --- single-scan p50 latency ------------------------------------------
-    c1, x1, v1 = cubes[:1], xyz[:1], valid[:1]
-    out = predictor(c1, x1, v1)
-    jax.block_until_ready(out)
+    # --- single-scan p50 latency (end-to-end, includes dispatch) --------
+    cubes1 = jax.device_put(
+        jnp.asarray(cubes_np[:1], dtype=jnp.dtype(predictor.cube_dtype))
+    )
+    x1, v1 = xyz[:1], valid[:1]
+    out = predictor(cubes1, x1, v1)
+    _ = jax.device_get(out[0])
     lat = []
     for _ in range(50):
         t0 = time.perf_counter()
-        out = predictor(c1, x1, v1)
-        jax.block_until_ready(out)
+        out = predictor(cubes1, x1, v1)
+        _ = jax.device_get(out[0])
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
+
+    # Device-only latency: chip compute per scan without the dispatch
+    # tunnel (methodology in device_latency_ms docstring / README).
+    try:
+        dev_ms = device_latency_ms(predictor, cubes1, x1, v1)
+    except Exception as e:
+        print(f"# device latency failed: {type(e).__name__}", file=sys.stderr)
+        dev_ms = None
 
     print(
         json.dumps(
@@ -133,6 +226,11 @@ def main():
                 "unit": "scans/s",
                 "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 1),
                 "p50_single_scan_ms": round(p50_ms, 3),
+                **(
+                    {"p50_device_scan_ms": round(dev_ms, 4)}
+                    if dev_ms is not None
+                    else {}
+                ),
                 "batch": BATCH,
                 "mode": best_mode,
                 **{f"scans_per_sec_{k}": round(v, 1) for k, v in rates.items()},

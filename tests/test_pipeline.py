@@ -167,7 +167,12 @@ def test_fast_folded_mode_matches_exact(rng):
 
 
 def test_pallas_mode_matches_exact(rng):
-    """Pallas fused kernel (interpret mode on CPU) == exact path."""
+    """Pallas fused kernel (interpret mode on CPU) == exact path.
+
+    Cubes are integer-valued like the real sensor's 8-bit raw image
+    (reference predict.py:90-91): the kernel contracts the cube stream
+    in bf16, which is exact for that range (pallas_score.py docstring).
+    """
     import jax.numpy as jnp
     import numpy as np
 
@@ -190,11 +195,12 @@ def test_pallas_mode_matches_exact(rng):
         model=model, calibration=calib, min_proba=0.5,
     )
     exact = RadarPredictor(mode="exact", **kw)
-    pallas = RadarPredictor(mode="pallas", **kw)
+    pallas = RadarPredictor(mode="pallas", cube_dtype="bfloat16", **kw)
 
     B, T = 3, 2
     cubes = jnp.asarray(
-        rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255, jnp.float32
+        np.rint(rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255),
+        jnp.float32,
     )
     xyz = jnp.asarray(rng.uniform(-30, 30, size=(B, T, 3)), jnp.float32)
     xyz = xyz.at[..., 2].set(jnp.abs(xyz[..., 2]) + 60.0)
@@ -206,3 +212,46 @@ def test_pallas_mode_matches_exact(rng):
         np.asarray(proba_p), np.asarray(proba_e), atol=2e-4
     )
     np.testing.assert_array_equal(np.asarray(pp), np.asarray(pe))
+
+
+def test_fast_bf16_ingest_matches_f32(rng):
+    """bf16 scan ingest (lossless for 8-bit radar data) == f32 fast path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+    from radarml_tpu.models.pipeline import RadarPredictor
+
+    n_classes = 3
+    F = DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(n_classes, F)) * 0.01, jnp.float32),
+        intercept=jnp.asarray(rng.normal(size=(n_classes,)), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((n_classes,), jnp.float32),
+        b=jnp.zeros((n_classes,), jnp.float32),
+    )
+    kw = dict(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib, min_proba=0.5,
+    )
+    f32 = RadarPredictor(mode="fast", **kw)
+    bf16 = RadarPredictor(mode="fast", cube_dtype="bfloat16", **kw)
+
+    B, T = 4, 3
+    cubes = np.rint(rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255).astype(
+        np.float32
+    )
+    xyz = jnp.asarray(rng.uniform(-30, 30, size=(B, T, 3)), jnp.float32)
+    xyz = xyz.at[..., 2].set(jnp.abs(xyz[..., 2]) + 60.0)
+    valid = jnp.ones((B, T), dtype=bool)
+
+    pf, _, proba_f = f32(cubes, xyz, valid)
+    pb, _, proba_b = bf16(cubes, xyz, valid)
+    # The f32 cast fuses after a lossless bf16 read: same math.
+    np.testing.assert_allclose(
+        np.asarray(proba_b), np.asarray(proba_f), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(pb), np.asarray(pf))
