@@ -589,7 +589,7 @@ def svc_fit(
         return model
 
     probA, probB = _fit_probabilities(
-        X, y_enc, classes, pairs, class_idx, Cw, cfg, gamma
+        X, y_enc, classes, pairs, class_idx, Cw, cfg, gamma, K_full=K_full
     )
     return dataclasses.replace(
         model,
@@ -598,38 +598,118 @@ def svc_fit(
     )
 
 
-def _fit_probabilities(X, y_enc, classes, pairs, class_idx, Cw, cfg, gamma):
-    """Per-pair Platt parameters from stratified-CV decision values."""
+def _fit_probabilities(
+    X, y_enc, classes, pairs, class_idx, Cw, cfg, gamma, K_full=None
+):
+    """Per-pair Platt parameters from stratified-CV decision values.
+
+    Device-resident: all (pair × prob-fold) binary sub-fits reuse the
+    already-computed full Gram (no feature re-transfer, no per-fit
+    kernel recompute) and solve as ONE vmapped SMO dispatch; held-out
+    decisions come straight from α against resident Gram rows. Fold
+    assignment reproduces the previous per-pair shuffled round-robin
+    exactly, so the fitted (A, B) match the sequential implementation
+    up to solver tolerance.
+    """
     rng = np.random.default_rng(cfg.seed)
-    probA, probB = [], []
-    for (i, j) in pairs:
+    folds = cfg.prob_folds
+    n = len(y_enc)
+    if K_full is None:
+        K_full = np.asarray(
+            kernel_matrix(jnp.asarray(X), jnp.asarray(X), cfg.kernel, gamma)
+        )
+    K = jnp.asarray(K_full, jnp.float32)
+
+    # --- host: build the padded (pair, fold) problem batch -----------
+    per_pair = []  # (idx, y_pos, fold_of)
+    problems = []  # (pair_id, fold, tr_global, ypm, cvals, te_global)
+    for pi, (i, j) in enumerate(pairs):
         idx = np.concatenate([class_idx[i], class_idx[j]])
         y_pos = np.concatenate(
-            [np.ones(len(class_idx[i]), bool), np.zeros(len(class_idx[j]), bool)]
+            [np.ones(len(class_idx[i]), bool),
+             np.zeros(len(class_idx[j]), bool)]
         )
-        dec = np.zeros(len(idx))
-        folds = cfg.prob_folds
         perm = rng.permutation(len(idx))
         fold_of = np.empty(len(idx), int)
         # Stratified round-robin assignment after a shuffle.
         for label in (True, False):
             members = perm[y_pos[perm] == label]
             fold_of[members] = np.arange(len(members)) % folds
-        sub_cfg = dataclasses.replace(
-            cfg, probability=False, gamma=gamma
-        )
+        per_pair.append((idx, y_pos, fold_of))
         for f in range(folds):
-            tr = idx[fold_of != f]
-            te = idx[fold_of == f]
-            if len(np.unique(y_enc[tr])) < 2 or len(te) == 0:
+            tr_m = fold_of != f
+            te_m = fold_of == f
+            if len(np.unique(y_pos[tr_m])) < 2 or not te_m.any():
                 continue
-            m = svc_fit(X[tr], y_enc[tr], sub_cfg)
-            # Binary decision: positive favors the smaller class label,
-            # which here is class i.
-            d = np.asarray(decision_function_ovo(m, X[te]))[:, 0]
-            first_is_i = np.unique(y_enc[tr])[0] == i
-            dec[fold_of == f] = d if first_is_i else -d
-        A, B = platt_fit(dec, y_pos)
+            n_tr = int(tr_m.sum())
+            cnt_i = int((y_pos & tr_m).sum())
+            cnt_j = n_tr - cnt_i
+            # class_weight='balanced' on the sub-fit's train set.
+            if cfg.class_weight == "balanced":
+                wi, wj = n_tr / (2.0 * cnt_i), n_tr / (2.0 * cnt_j)
+            else:
+                wi = wj = 1.0
+            ypm = np.where(y_pos[tr_m], 1.0, -1.0).astype(np.float32)
+            cvals = cfg.C * np.where(ypm > 0, wi, wj).astype(np.float32)
+            problems.append(
+                (pi, f, idx[tr_m], ypm, cvals, idx[te_m])
+            )
+
+    if not problems:
+        return (
+            np.zeros(len(pairs)) - 1.0,
+            np.zeros(len(pairs)),
+        )
+
+    m = max(len(p[2]) for p in problems)
+    NP = len(problems)
+    idxb = np.zeros((NP, m), np.int32)
+    yb = np.ones((NP, m), np.float32)
+    Cb = np.zeros((NP, m), np.float32)
+    for q, (_pi, _f, tr, ypm, cvals, _te) in enumerate(problems):
+        s = len(tr)
+        idxb[q, :s] = tr
+        yb[q, :s] = ypm
+        Cb[q, :s] = cvals
+    idxb_d = jnp.asarray(idxb)
+    yb_d = jnp.asarray(yb)
+    validb = jnp.asarray(Cb > 0)
+
+    @jax.jit
+    def solve_all(K):
+        Ksub = K[idxb_d[:, :, None], idxb_d[:, None, :]]
+        Ksub = jnp.where(validb[:, :, None] & validb[:, None, :], Ksub, 0.0)
+        Qb = yb_d[:, :, None] * yb_d[:, None, :] * Ksub
+        solver = jax.vmap(
+            functools.partial(
+                _smo_kernel_solve, eps=cfg.eps, max_iter=cfg.max_iter
+            )
+        )
+        res = solver(Qb, yb_d, jnp.asarray(Cb))
+        # Decisions for every sample; callers slice their test rows.
+        coef = res.alpha * yb_d  # (NP, m)
+        dec = (
+            jnp.einsum(
+                "qm,qmn->qn", coef, K[idxb_d],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            - res.rho[:, None]
+        )
+        return dec
+
+    dec_all = np.asarray(solve_all(K))  # (NP, n)
+
+    # --- scatter decisions back per pair, fit Platt -------------------
+    dec_by_pair = [np.zeros(len(p[0])) for p in per_pair]
+    pos_of = [
+        {g: q for q, g in enumerate(p[0])} for p in per_pair
+    ]
+    for q, (pi, _f, _tr, _ypm, _cv, te) in enumerate(problems):
+        local = np.asarray([pos_of[pi][g] for g in te])
+        dec_by_pair[pi][local] = dec_all[q][te]
+    probA, probB = [], []
+    for pi, (idx, y_pos, _fold_of) in enumerate(per_pair):
+        A, B = platt_fit(dec_by_pair[pi], y_pos)
         probA.append(A)
         probB.append(B)
     return np.array(probA), np.array(probB)

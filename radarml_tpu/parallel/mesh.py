@@ -10,6 +10,16 @@ with XLA-inserted collectives over ICI.
 The mesh is 1-D ('data') by default; `make_mesh` accepts an explicit
 shape for future model axes so call sites don't change when a 'model'
 axis appears.
+
+Multi-process / multi-slice (DCN) support: `init_distributed` wraps
+`jax.distributed.initialize` so several host processes (one per TPU
+slice or VM) form one global runtime — `jax.devices()` then spans all
+processes, `make_mesh` builds a global mesh over it, and XLA routes
+the DP all-reduce over ICI within a slice and DCN across slices with
+no code change in the train steps. `local_to_global` assembles a
+globally-sharded batch from each process's local shard (the host
+data-loading seam). Tested with a 2-process × 4-virtual-CPU-device
+runtime in tests/test_parallel.py.
 """
 
 from __future__ import annotations
@@ -22,6 +32,58 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join this host process to the global (DCN) JAX runtime.
+
+    Call once per process before any device query. On cloud TPU pods
+    the arguments auto-detect from the environment (pass nothing); for
+    explicit clusters give the process-0 address, world size, and this
+    process's rank. Idempotent: a second call is a no-op.
+    """
+    # Idempotence check that must NOT touch the backend (jax.devices/
+    # process_count would initialize XLA, after which distributed
+    # init is rejected).
+    try:
+        from jax._src.distributed import global_state as _gs
+
+        if _gs.client is not None:
+            return  # already distributed
+    except ImportError:  # pragma: no cover - jax internals moved
+        pass
+    if (
+        coordinator_address is None
+        and num_processes is None
+        and process_id is None
+    ):
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def local_to_global(mesh: Mesh, *arrays):
+    """Assemble globally-sharded arrays from per-process local shards.
+
+    Each process passes its own contiguous slice of the global batch
+    (leading axis); the result is one logical array sharded over
+    'data' across every process's devices — the input seam between
+    host-local data loading and the global DP train step.
+    """
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    out = tuple(
+        jax.make_array_from_process_local_data(sh, np.asarray(a))
+        for a in arrays
+    )
+    return out if len(out) > 1 else out[0]
 
 
 def make_mesh(

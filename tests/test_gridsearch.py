@@ -93,3 +93,42 @@ def test_batched_grid_search_matches_sequential(rng):
         np.testing.assert_allclose(
             a["mean_test_score"], b["mean_test_score"], atol=1e-6
         )
+
+
+def test_svc_batched_grid_matches_sequential(rng):
+    """Device-batched SVC CV == 150-sequential-fits CV (same QPs)."""
+    X, y = _blobs(rng, n=48, k=3, f=12)
+    grid = [
+        {"C": [0.1, 1.0, 10.0], "kernel": ["linear"]},
+        {"C": [1.0, 10.0], "gamma": [0.01, 0.1], "kernel": ["rbf"]},
+    ]
+    seq = gs.grid_search_svc(X, y, folds=3, grid=grid, probability=False,
+                             device_batched=False)
+    bat = gs.grid_search_svc(X, y, folds=3, grid=grid, probability=False,
+                             device_batched=True)
+    assert bat.best_params == seq.best_params
+    for a, b in zip(seq.cv_results, bat.cv_results):
+        assert a["params"] == b["params"]
+        np.testing.assert_allclose(
+            a["mean_test_score"], b["mean_test_score"], atol=1e-6
+        )
+
+
+def test_svc_batched_grid_mesh_sharded(rng):
+    """Candidate axis sharded over an 8-device mesh: identical scores."""
+    from radarml_tpu.parallel.mesh import make_mesh
+
+    X, y = _blobs(rng, n=42, k=3, f=10)
+    grid = [
+        {"C": [0.1, 1.0, 10.0, 100.0], "kernel": ["linear"]},
+        {"C": [1.0, 10.0], "gamma": [0.05], "kernel": ["rbf"]},
+    ]
+    single = gs.grid_search_svc(X, y, folds=3, grid=grid, probability=False)
+    mesh = make_mesh(8)
+    sharded = gs.grid_search_svc(X, y, folds=3, grid=grid,
+                                 probability=False, mesh=mesh)
+    assert sharded.best_params == single.best_params
+    for a, b in zip(single.cv_results, sharded.cv_results):
+        np.testing.assert_allclose(
+            a["mean_test_score"], b["mean_test_score"], atol=1e-6
+        )

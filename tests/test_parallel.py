@@ -1,5 +1,7 @@
 """Mesh + data-parallel training on the simulated 8-device CPU platform."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -135,3 +137,101 @@ def test_two_axis_mesh_shape():
     mesh = make_mesh(8, shape=(4, 2), axis_names=("data", "model"))
     assert mesh.devices.shape == (4, 2)
     assert mesh.axis_names == ("data", "model")
+
+
+_DCN_DRIVER = r'''
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from radarml_tpu.parallel.mesh import init_distributed, make_mesh, local_to_global, replicate
+init_distributed(coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+import numpy as np
+import jax.numpy as jnp
+from radarml_tpu.parallel.train_step import make_dp_sgd_train_step
+
+rng = np.random.default_rng(0)
+X = rng.normal(size=(16, 12)).astype(np.float32)
+y = (np.arange(16) % 3).astype(np.int32)
+mesh = make_mesh()  # global 8-device mesh spanning both processes
+lo = slice(pid * 8, (pid + 1) * 8)
+Xg, yg = local_to_global(mesh, X[lo], y[lo])
+params = replicate(mesh, {
+    "coef": jnp.zeros((3, 12), jnp.float32),
+    "intercept": jnp.zeros((3,), jnp.float32),
+})
+step = make_dp_sgd_train_step(mesh, n_classes=3, lr=0.5)
+for _ in range(3):
+    params, loss = step(params, Xg, yg)
+if pid == 0:
+    np.savez(out, coef=np.asarray(params["coef"]),
+             intercept=np.asarray(params["intercept"]),
+             loss=float(loss))
+'''
+
+
+def test_multiprocess_dcn_dp_step(tmp_path):
+    """2 processes x 4 virtual devices: the DP gradient all-reduce
+    crosses the process boundary (the DCN seam) and matches the
+    single-process 8-device result to reduction-order tolerance."""
+    import socket
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    from radarml_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from radarml_tpu.parallel.train_step import make_dp_sgd_train_step
+
+    # Single-process reference on the in-test 8-device mesh.
+    rng_ = np.random.default_rng(0)
+    X = rng_.normal(size=(16, 12)).astype(np.float32)
+    y = (np.arange(16) % 3).astype(np.int32)
+    mesh = make_mesh(8)
+    Xs, ys = shard_batch(mesh, X, y)
+    params = replicate(mesh, {
+        "coef": jnp.zeros((3, 12), jnp.float32),
+        "intercept": jnp.zeros((3,), jnp.float32),
+    })
+    step = make_dp_sgd_train_step(mesh, n_classes=3, lr=0.5)
+    for _ in range(3):
+        params, loss = step(params, Xs, ys)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    driver = tmp_path / "dcn_driver.py"
+    driver.write_text(_DCN_DRIVER)
+    out = tmp_path / "proc0.npz"
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = [p for p in env.get("PYTHONPATH", "").split(":") if p]
+    if repo not in parts:
+        parts.append(repo)
+    env["PYTHONPATH"] = ":".join(parts)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(driver), str(i), str(port), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=240)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    got = np.load(out)
+    # Cross-process psum may associate reductions differently: allow
+    # float32 reduction-order noise, nothing more.
+    np.testing.assert_allclose(
+        got["coef"], np.asarray(params["coef"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        got["intercept"], np.asarray(params["intercept"]), atol=1e-6
+    )
+    assert np.isfinite(got["loss"])
