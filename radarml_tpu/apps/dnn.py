@@ -97,6 +97,15 @@ def main(argv=None) -> dict:
 
         mesh = make_mesh(args.mesh)
 
+    # Architecture summary next to the checkpoint (the reference dumps
+    # plot_model PNGs here, dnn.py:426-427).
+    from radarml_tpu.utils.summary import write_model_summary
+
+    write_model_summary(
+        os.path.join(args.results_dir, "c_model_summary.txt"),
+        params, title=f"MultiViewCNN n_classes={n_classes} rescale={RESCALE}",
+    )
+
     cfg = TrainConfig(batch_size=args.batch_size, epochs=args.epochs)
     best_params, history = train_cnn(
         model, params,

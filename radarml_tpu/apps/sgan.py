@@ -98,6 +98,21 @@ def main(argv=None) -> dict:
         n_sup_samples=args.sup_samples,
     )
     gen, disc, state = sgan_init(jax.random.PRNGKey(cfg.seed), cfg, rescale)
+
+    # Architecture summaries next to the checkpoints (the reference
+    # dumps plot_model PNGs here, sgan.py:750-765).
+    from radarml_tpu.utils.summary import write_model_summary
+
+    write_model_summary(
+        os.path.join(args.results_dir, "g_model_summary.txt"),
+        state.g_params, title=f"SGAN generator rescale={rescale}",
+    )
+    write_model_summary(
+        os.path.join(args.results_dir, "d_model_summary.txt"),
+        state.d_params,
+        title=f"SGAN discriminator (c+d heads) n_classes={n_classes}",
+    )
+
     state = train_sgan(
         gen, disc, state,
         (pre["X_train"], pre["y_train"], pre.get("sup_train")),

@@ -496,6 +496,7 @@ def sgd_fit_many_folds(
     seed: int = 1234,
     tol: Optional[float] = None,
     n_iter_no_change: int = 5,
+    mesh=None,
 ) -> SGDState:
     """sgd_fit_many over a leading FOLD axis: the whole cross-validation
     of one penalty group — every fold × every candidate — is a single
@@ -505,11 +506,27 @@ def sgd_fit_many_folds(
     Args:
         Xs: (folds, n, F) stacked fold training sets (equal-size).
         ys: (folds, n) labels.
+        mesh: optional jax Mesh — folds shard over its 'data' axis
+            (fold fits are independent, so the sharded run is
+            bit-identical to the single-device one and the grid scales
+            with chips).
 
     Returns a batched SGDState with leading axes (folds, candidates).
     """
     Xs = jnp.asarray(Xs, jnp.float32)
     ys = jnp.asarray(ys, jnp.int32)
+    n_folds_out = ys.shape[0]
+    if mesh is not None:
+        from radarml_tpu.parallel.mesh import shard_batch
+
+        # Shardings must divide evenly: repeat the last fold up to a
+        # device-count multiple (its extra copies are discarded below).
+        ndev = int(mesh.devices.size)
+        padf = (-Xs.shape[0]) % ndev
+        if padf:
+            Xs = jnp.concatenate([Xs, jnp.repeat(Xs[-1:], padf, 0)])
+            ys = jnp.concatenate([ys, jnp.repeat(ys[-1:], padf, 0)])
+        Xs, ys = shard_batch(mesh, Xs, ys)
     folds, n = ys.shape
     if epochs is None:
         epochs = int(min(max(np.ceil(10**6 / n), 5), 300))
@@ -542,10 +559,13 @@ def sgd_fit_many_folds(
     outer = jax.jit(
         jax.vmap(inner, in_axes=(0, 0, 0, None, None, None, None))
     )
-    return outer(
+    out = outer(
         state, Xs, ys, perms,
         jnp.asarray(alphas_np), jnp.asarray(l1rs), jnp.asarray(t0s),
     )
+    if folds != n_folds_out:
+        out = jax.tree.map(lambda a: a[:n_folds_out], out)
+    return out
 
 
 @functools.lru_cache(maxsize=64)

@@ -194,6 +194,7 @@ def grid_search_sgd(
     seed: int = 1234,
     vmap_candidates: bool = True,
     tol: Optional[float] = 1e-3,
+    mesh=None,
 ) -> GridSearchResult:
     """Reference find_best_sgd_svm_estimator equivalent.
 
@@ -252,7 +253,7 @@ def grid_search_sgd(
     if vmap_candidates:
         res = _run_grid_sgd_batched(
             X, y, grid or SGD_PARAM_GRID, n_classes, folds, epochs, seed,
-            make_cfg, refit, tol,
+            make_cfg, refit, tol, mesh=mesh,
         )
     else:
         res = _run_grid(X, y, grid or SGD_PARAM_GRID, fit_score, refit, folds)
@@ -263,7 +264,8 @@ def grid_search_sgd(
 
 
 def _run_grid_sgd_batched(
-    X, y, grid, n_classes, folds, epochs, seed, make_cfg, refit, tol=None
+    X, y, grid, n_classes, folds, epochs, seed, make_cfg, refit, tol=None,
+    mesh=None,
 ) -> GridSearchResult:
     """Candidate-batched CV: one vmapped fit per (penalty, average,
     fold) over all that group's (alpha, l1_ratio) combinations.
@@ -304,7 +306,7 @@ def _run_grid_sgd_batched(
         ]
         states = sgd_fit_many_folds(
             Xs, ys, n_classes, penalty, average,
-            alphas, l1rs, epochs=epochs, seed=seed, tol=tol,
+            alphas, l1rs, epochs=epochs, seed=seed, tol=tol, mesh=mesh,
         )
         # (folds, cand, C, F) model batch.
         coef = states.avg_coef if average else states.coef

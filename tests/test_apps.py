@@ -193,3 +193,30 @@ def test_predict_app_derived_targets(workdir, trained):
         ]
     )
     assert len(results) >= 3  # one derived target per scan
+
+
+def test_model_summary_util():
+    import jax.numpy as jnp
+
+    from radarml_tpu.utils.summary import model_summary
+
+    params = {"dense": {"kernel": jnp.zeros((4, 8)), "bias": jnp.zeros((8,))},
+              "head": {"kernel": jnp.zeros((8, 3))}}
+    text = model_summary(params, title="tiny")
+    assert "# tiny" in text
+    assert "dense/kernel" in text and "(4, 8)" in text
+    assert "total parameters: 64" in text  # 32 + 8 + 24
+
+
+def test_dnn_app_writes_model_and_summary(workdir):
+    from radarml_tpu.apps import dnn as dnn_app
+
+    out = dnn_app.main([
+        "--synthetic", "24", "--epochs", "2", "--batch_size", "8",
+        "--results_dir", str(workdir / "dnn-results"),
+    ])
+    assert os.path.exists(out["model_path"])
+    summary_path = workdir / "dnn-results" / "c_model_summary.txt"
+    assert summary_path.exists()
+    text = summary_path.read_text()
+    assert "MultiViewCNN" in text and "total parameters:" in text
