@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scans per device call")
     p.add_argument("--max_targets", type=int, default=4)
     p.add_argument("--log_file", type=str, default="predict.log")
+    p.add_argument("--cube_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="device dtype of the scan stream; bfloat16 is "
+                        "lossless for 8-bit radar data and halves "
+                        "host-link + HBM traffic (use with --mode fast)")
     p.add_argument("--mode", type=str, default="exact",
                    choices=["exact", "fast", "pallas"],
                    help="scoring path: exact reference math, folded "
@@ -87,6 +92,7 @@ def main(argv=None) -> list:
         proj_mask=parse_proj_mask(args.proj_mask),
         min_proba=args.min_proba,
         mode=args.mode,
+        cube_dtype=args.cube_dtype,
     )
 
     from radarml_tpu.utils import RateMeter, StageTimer, device_trace

@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label_encoder", type=str,
                    default="train-results/radar_labels.pickle")
     p.add_argument("--min_proba", type=float, default=0.7)
+    p.add_argument("--cube_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="device dtype of the scan stream; bfloat16 is "
+                        "lossless for 8-bit radar data and halves "
+                        "host-link + HBM traffic")
     p.add_argument("--mode", type=str, default="fast",
                    choices=["exact", "fast", "pallas"])
     p.add_argument("--duration", type=float, default=10.0,
@@ -65,6 +70,7 @@ def main(argv=None) -> dict:
         train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
         model=model, calibration=calib,
         min_proba=args.min_proba, mode=args.mode,
+        cube_dtype=args.cube_dtype,
     )
 
     def on_detection(d):
