@@ -64,6 +64,7 @@ class _GenBranch(nn.Module):
     """
 
     n_upsamples: int = 4
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool) -> jax.Array:
@@ -75,7 +76,9 @@ class _GenBranch(nn.Module):
                 128, (4, 4), strides=(2, 2), padding="SAME", kernel_init=_init
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=1e-3,
             )(x)
             x = nn.relu(x)
         x = nn.Conv(1, (7, 7), padding="SAME", kernel_init=_init)(x)
@@ -87,6 +90,7 @@ class Generator(nn.Module):
     S = 8·2^n_upsamples (128 in the reference)."""
 
     n_upsamples: int = 4
+    bn_momentum: float = 0.99
 
     @property
     def out_size(self) -> int:
@@ -94,14 +98,17 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = True):
-        xz = _GenBranch(self.n_upsamples, name="xz")(z, train)
-        yz = _GenBranch(self.n_upsamples, name="yz")(z, train)
-        xy = _GenBranch(self.n_upsamples, name="xy")(z, train)
+        m = self.bn_momentum
+        xz = _GenBranch(self.n_upsamples, m, name="xz")(z, train)
+        yz = _GenBranch(self.n_upsamples, m, name="yz")(z, train)
+        xy = _GenBranch(self.n_upsamples, m, name="xy")(z, train)
         return xz, yz, xy
 
 
 class _DiscBranch(nn.Module):
     """One per-projection downsampling trunk (sgan.py:136-157)."""
+
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -110,7 +117,9 @@ class _DiscBranch(nn.Module):
                 feats, (3, 3), strides=(2, 2), padding="SAME", kernel_init=_init
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=1e-3,
             )(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
         return x
@@ -122,19 +131,22 @@ class Discriminator(nn.Module):
     n_classes: int = 3
     dense_width: int = 64
     dropout_rate: float = 0.5
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, views, train: bool = True) -> jax.Array:
         xz, yz, xy = views
-        bxz = _DiscBranch(name="xz")(xz, train)
-        byz = _DiscBranch(name="yz")(yz, train)
-        bxy = _DiscBranch(name="xy")(xy, train)
+        bxz = _DiscBranch(self.bn_momentum, name="xz")(xz, train)
+        byz = _DiscBranch(self.bn_momentum, name="yz")(yz, train)
+        bxy = _DiscBranch(self.bn_momentum, name="xy")(xy, train)
         x = jnp.concatenate([bxz, byz, bxy], axis=-1)
         x = x.reshape((x.shape[0], -1))
         for _ in range(2):
             x = nn.Dense(self.dense_width, kernel_init=_init)(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=1e-3,
             )(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
             x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)

@@ -61,6 +61,7 @@ __all__ = [
     "train_sgan",
     "select_supervised_samples",
     "generate_fake_dataset",
+    "recalibrate_bn_stats",
 ]
 
 # Native (cols, rows) projection sizes generated fakes are resized back
@@ -473,11 +474,16 @@ def train_sgan(
                 float(losses["gan"]),
             )
         if (i + 1) % every == 0:
+            # Eval/checkpoint see precise-BN population stats, not the
+            # slow momentum-0.99 EMA (see recalibrate_bn_stats).
+            state = recalibrate_bn_stats(disc, state, X_d, seed=i)
             _summarize(
                 i, gen, disc, state, val_set, cfg, results_dir, key, on_summary
             )
             if store is not None:
                 store.save(i + 1, state)
+    if n_steps % every:
+        state = recalibrate_bn_stats(disc, state, X_d, seed=n_steps)
     done = n_steps - start_step
     logger.info(
         "%d steps in %.1fs (%.2f steps/s)",
@@ -485,6 +491,86 @@ def train_sgan(
         done / max(time.perf_counter() - t0, 1e-9),
     )
     return state
+
+
+_RECAL_CACHE: dict = {}
+
+
+def _recal_fn(disc: Discriminator):
+    """Jitted precise-BN stat pooling, cached per discriminator.
+
+    Takes (d_params, template_stats, batches (P,B,H,W,3)) and returns
+    pooled population batch_stats.
+    """
+    fn = _RECAL_CACHE.get(disc)
+    if fn is not None:
+        return fn
+    # rate-0 dropout is an identity (no rng needed) and momentum 0
+    # makes the mutable batch_stats return exactly each batch's
+    # (mean, var) — independent of the carried stats, since train-mode
+    # BN normalizes by the current batch.
+    recal = disc.clone(dropout_rate=0.0, bn_momentum=0.0)
+
+    def pool(tree):
+        """Pooled stats over the leading P axis: exact population
+        moments of the union of batches (equal batch sizes)."""
+        if isinstance(tree, dict) and set(tree) == {"mean", "var"}:
+            m = jnp.mean(tree["mean"], axis=0)
+            v = jnp.mean(tree["var"] + tree["mean"] ** 2, axis=0) - m**2
+            return {"mean": m, "var": jnp.maximum(v, 0.0)}
+        if isinstance(tree, dict):
+            return {k: pool(v) for k, v in tree.items()}
+        raise TypeError(f"unexpected batch_stats node {type(tree)}")
+
+    @jax.jit
+    def fn(d_params, stats, batches):
+        def body(carry, xb):
+            views = tuple(xb[..., i : i + 1] for i in range(3))
+            _, mut = recal.apply(
+                {"params": d_params, "batch_stats": carry},
+                views, train=True, mutable=["batch_stats"],
+            )
+            return carry, mut["batch_stats"]
+
+        _, per_batch = jax.lax.scan(body, stats, batches)
+        return pool(per_batch)
+
+    _RECAL_CACHE[disc] = fn
+    return fn
+
+
+def recalibrate_bn_stats(
+    disc: Discriminator,
+    state: SGANState,
+    X,
+    batch: int = 64,
+    n_passes: int = 16,
+    seed: int = 0,
+) -> SGANState:
+    """Precise-BN: replace the discriminator's running statistics with
+    population statistics measured under eval conditions (dropout off,
+    each batch normalized by its own stats).
+
+    Keras-parity momentum-0.99 EMAs need ~600 steps to forget their
+    (0, 1) initialization — far longer than a short schedule on a small
+    dataset — so inference-mode eval reads near-chance while train-mode
+    accuracy is high. Recomputing the stats directly over real data
+    makes every eval/checkpoint reflect the learned classifier
+    regardless of step count. One fused scan dispatch; stats are exact
+    pooled moments, not an EMA. (The reference masks this problem with
+    3465 training steps, sgan.py:504-543 + README.md:173.)
+    """
+    X = jnp.asarray(X)
+    n = X.shape[0]
+    rng = np.random.default_rng(seed)
+    idx = jnp.asarray(
+        rng.integers(0, n, size=(n_passes * batch,)), jnp.int32
+    )
+    batches = jnp.take(X, idx, axis=0).reshape(
+        (n_passes, batch) + tuple(X.shape[1:])
+    )
+    stats = _recal_fn(disc)(state.d_params, state.d_stats, batches)
+    return state._replace(d_stats=stats)
 
 
 _EVAL_CACHE: dict = {}

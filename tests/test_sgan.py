@@ -151,3 +151,58 @@ def test_train_sgan_short_run_and_fake_dataset(tmp_path, small_sgan):
 def dataclasses_replace(cfg, **kw):
     import dataclasses
     return dataclasses.replace(cfg, **kw)
+
+
+def test_recalibrate_bn_stats_matches_population_forward(small_sgan):
+    """With one pass over the full set, recalibrated running stats make
+    inference-mode logits exactly equal a train-mode (batch-stat,
+    dropout-off) forward on that set: each layer's stored (mean, var)
+    IS the batch statistic the train-mode forward normalizes by."""
+    cfg, gen, disc, state = small_sgan
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(24,) + SMALL + (3,)).astype(np.float32)
+
+    recal = st.recalibrate_bn_stats(disc, state, X, batch=24, n_passes=1, seed=0)
+    # seed irrelevant at batch=n only if draws cover the set; force the
+    # exact set instead by bypassing sampling: single pass over X.
+    fn = st._recal_fn(disc)
+    stats = fn(
+        state.d_params, state.d_stats, jnp.asarray(X)[None]
+    )
+    recal = state._replace(d_stats=stats)
+
+    views = tuple(jnp.asarray(X)[..., i : i + 1] for i in range(3))
+    logits_eval = disc.apply(
+        {"params": recal.d_params, "batch_stats": recal.d_stats},
+        views, train=False,
+    )
+    clone = disc.clone(dropout_rate=0.0, bn_momentum=0.0)
+    logits_train, _ = clone.apply(
+        {"params": state.d_params, "batch_stats": state.d_stats},
+        views, train=True, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_eval), np.asarray(logits_train), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_recalibrate_pooled_moments_are_population_moments(small_sgan):
+    """Pooling over several batches gives the exact union-population
+    moments (mean of means; E[x^2]-mean^2), not a momentum EMA."""
+    cfg, gen, disc, state = small_sgan
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(32,) + SMALL + (3,)).astype(np.float32)
+    fn = st._recal_fn(disc)
+    # Two half-batches tiling X exactly.
+    batches = jnp.asarray(X).reshape((2, 16) + SMALL + (3,))
+    stats2 = fn(state.d_params, state.d_stats, batches)
+
+    # First-layer BN input is conv(x): identical in either mode, so its
+    # pooled stats must equal the full-set batch stats.
+    stats1 = fn(state.d_params, state.d_stats, jnp.asarray(X)[None])
+    m2 = np.asarray(stats2["xz"]["BatchNorm_0"]["mean"])
+    m1 = np.asarray(stats1["xz"]["BatchNorm_0"]["mean"])
+    v2 = np.asarray(stats2["xz"]["BatchNorm_0"]["var"])
+    v1 = np.asarray(stats1["xz"]["BatchNorm_0"]["var"])
+    np.testing.assert_allclose(m2, m1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(v2, v1, rtol=1e-3, atol=1e-5)
