@@ -24,7 +24,8 @@ difference by (K_hi - K_lo) — fixed per-call overhead (including the
 ~28 ms tunnel round-trip) cancels.
 
 Scan cubes are integer-valued (the radar's raw image is 8-bit,
-reference predict.py:90-91), so the bf16-ingest modes are lossless.
+reference predict.py:90-91), so the bf16- and uint8-ingest modes are
+lossless.
 
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -149,12 +150,14 @@ def main():
     )
     # exact: reference math stage-by-stage. fast: model folded into
     # native-resolution templates + whole-cube contraction tables
-    # (models/pipeline.py). fast_bf16/pallas: the same on a bf16 scan
-    # stream (lossless for 8-bit radar data; halves HBM traffic).
+    # (models/pipeline.py). fast_bf16/fast_u8/pallas: the same on a
+    # narrowed scan stream (lossless for 8-bit radar data; 2x/4x
+    # fewer stream bytes).
     predictors = {
         "exact": RadarPredictor(mode="exact", **kw),
         "fast": RadarPredictor(mode="fast", **kw),
         "fast_bf16": RadarPredictor(mode="fast", cube_dtype="bfloat16", **kw),
+        "fast_u8": RadarPredictor(mode="fast", cube_dtype="uint8", **kw),
         "pallas": RadarPredictor(mode="pallas", cube_dtype="bfloat16", **kw),
     }
 

@@ -54,10 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_targets", type=int, default=4)
     p.add_argument("--log_file", type=str, default="predict.log")
     p.add_argument("--cube_dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16"],
-                   help="device dtype of the scan stream; bfloat16 is "
-                        "lossless for 8-bit radar data and halves "
-                        "host-link + HBM traffic (use with --mode fast)")
+                   choices=["float32", "bfloat16", "uint8"],
+                   help="device dtype of the scan stream; bfloat16/uint8 "
+                        "are lossless for 8-bit radar data and cut "
+                        "host-link + HBM traffic 2x/4x (use with "
+                        "--mode fast; uint8 truncates non-integer cubes)")
     p.add_argument("--mode", type=str, default="exact",
                    choices=["exact", "fast", "pallas"],
                    help="scoring path: exact reference math, folded "

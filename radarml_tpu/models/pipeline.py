@@ -60,13 +60,22 @@ class RadarPredictor:
     # Device dtype of the scan-cube stream. Radar cubes are 8-bit
     # sensor data (reference predict.py:90-91 GetRawImage yields
     # 0..255), and every such value is exactly representable in
-    # bfloat16 — so "bfloat16" halves HBM/host-link traffic with
-    # bit-identical predictions on real scans (the f32 cast fuses into
-    # the scoring contractions). Keep "float32" for arbitrary
-    # continuous inputs.
-    cube_dtype: str = "float32"  # "float32" | "bfloat16"
+    # bfloat16 AND uint8 — so both narrow dtypes are lossless on real
+    # scans (the f32 cast fuses into the scoring contractions).
+    # "bfloat16" halves HBM/host-link traffic vs f32; "uint8" quarters
+    # the host-link bytes and is the fastest measured fast-path stream
+    # (the device-side win over bf16 is modest because the contraction
+    # goes compute-bound below ~2 B/element, but ingest bandwidth —
+    # the serving bottleneck behind a host link — scales with bytes).
+    # uint8 truncates: only use it for integer-valued 0..255 cubes.
+    # Keep "float32" for arbitrary continuous inputs.
+    cube_dtype: str = "float32"  # "float32" | "bfloat16" | "uint8"
 
     def __post_init__(self):
+        if self.mode == "pallas" and self.cube_dtype == "uint8":
+            # Mosaic has no u8 tiled-load path here; the fast mode is
+            # the throughput default anyway.
+            raise ValueError("pallas mode supports float32/bfloat16 streams")
         is_linear = type(self.model).__name__ == "LinearModel"
         if self.mode == "pallas" and is_linear:
             object.__setattr__(self, "_fn", self._build_pallas())

@@ -255,3 +255,49 @@ def test_fast_bf16_ingest_matches_f32(rng):
         np.asarray(proba_b), np.asarray(proba_f), atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(pb), np.asarray(pf))
+
+
+def test_fast_uint8_ingest_matches_f32(rng):
+    """uint8 scan ingest (lossless for integer 0..255 radar data) ==
+    f32 fast path, and pallas mode rejects it (no Mosaic u8 path)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+    from radarml_tpu.models.pipeline import RadarPredictor
+
+    n_classes = 3
+    F = DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(n_classes, F)) * 0.01, jnp.float32),
+        intercept=jnp.asarray(rng.normal(size=(n_classes,)), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((n_classes,), jnp.float32),
+        b=jnp.zeros((n_classes,), jnp.float32),
+    )
+    kw = dict(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib, min_proba=0.5,
+    )
+    f32 = RadarPredictor(mode="fast", **kw)
+    u8 = RadarPredictor(mode="fast", cube_dtype="uint8", **kw)
+    with pytest.raises(ValueError):
+        RadarPredictor(mode="pallas", cube_dtype="uint8", **kw)
+
+    B, T = 4, 3
+    cubes = np.rint(rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255).astype(
+        np.float32
+    )
+    xyz = jnp.asarray(rng.uniform(-30, 30, size=(B, T, 3)), jnp.float32)
+    xyz = xyz.at[..., 2].set(jnp.abs(xyz[..., 2]) + 60.0)
+    valid = jnp.ones((B, T), dtype=bool)
+
+    pf, _, proba_f = f32(cubes, xyz, valid)
+    pu, _, proba_u = u8(cubes, xyz, valid)
+    np.testing.assert_allclose(
+        np.asarray(proba_u), np.asarray(proba_f), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(pu), np.asarray(pf))
