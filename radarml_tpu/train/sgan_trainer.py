@@ -62,6 +62,7 @@ __all__ = [
     "select_supervised_samples",
     "generate_fake_dataset",
     "recalibrate_bn_stats",
+    "recalibrate_gen_stats",
 ]
 
 # Native (cols, rows) projection sizes generated fakes are resized back
@@ -474,9 +475,13 @@ def train_sgan(
                 float(losses["gan"]),
             )
         if (i + 1) % every == 0:
-            # Eval/checkpoint see precise-BN population stats, not the
-            # slow momentum-0.99 EMA (see recalibrate_bn_stats).
+            # Eval/checkpoint/artifacts see precise-BN population
+            # stats, not the slow momentum-0.99 EMA warmup (see
+            # recalibrate_bn_stats / recalibrate_gen_stats).
             state = recalibrate_bn_stats(disc, state, X_d, seed=i)
+            state = recalibrate_gen_stats(
+                gen, state, jax.random.fold_in(key, 7), cfg.latent_dim
+            )
             _summarize(
                 i, gen, disc, state, val_set, cfg, results_dir, key, on_summary
             )
@@ -484,6 +489,9 @@ def train_sgan(
                 store.save(i + 1, state)
     if n_steps % every:
         state = recalibrate_bn_stats(disc, state, X_d, seed=n_steps)
+        state = recalibrate_gen_stats(
+            gen, state, jax.random.fold_in(key, 11), cfg.latent_dim
+        )
     done = n_steps - start_step
     logger.info(
         "%d steps in %.1fs (%.2f steps/s)",
@@ -571,6 +579,61 @@ def recalibrate_bn_stats(
     )
     stats = _recal_fn(disc)(state.d_params, state.d_stats, batches)
     return state._replace(d_stats=stats)
+
+
+_GEN_RECAL_CACHE: dict = {}
+
+
+def _gen_recal_fn(gen: Generator):
+    """Jitted precise-BN pooling for the generator, cached per module."""
+    fn = _GEN_RECAL_CACHE.get(gen)
+    if fn is not None:
+        return fn
+    recal = gen.clone(bn_momentum=0.0)
+
+    def pool(tree):
+        if isinstance(tree, dict) and set(tree) == {"mean", "var"}:
+            m = jnp.mean(tree["mean"], axis=0)
+            v = jnp.mean(tree["var"] + tree["mean"] ** 2, axis=0) - m**2
+            return {"mean": m, "var": jnp.maximum(v, 0.0)}
+        if isinstance(tree, dict):
+            return {k: pool(v) for k, v in tree.items()}
+        raise TypeError(f"unexpected batch_stats node {type(tree)}")
+
+    @jax.jit
+    def fn(g_params, stats, zs):
+        def body(carry, z):
+            _, mut = recal.apply(
+                {"params": g_params, "batch_stats": carry},
+                z, train=True, mutable=["batch_stats"],
+            )
+            return carry, mut["batch_stats"]
+
+        _, per_batch = jax.lax.scan(body, stats, zs)
+        return pool(per_batch)
+
+    _GEN_RECAL_CACHE[gen] = fn
+    return fn
+
+
+def recalibrate_gen_stats(
+    gen: Generator,
+    state: SGANState,
+    key: jax.Array,
+    latent_dim: int = LATENT_DIM,
+    batch: int = 32,
+    n_passes: int = 16,
+) -> SGANState:
+    """Precise-BN for the generator: population stats over fresh latent
+    draws, so inference-mode generation (`generate_fake_dataset`, the
+    reference's per-epoch artifact, sgan.py:457-501) reflects the
+    trained generator on short schedules instead of the slow
+    momentum-0.99 EMA warmup. Same construction as
+    `recalibrate_bn_stats`; the input distribution here is the latent
+    prior itself, so recalibration needs no data."""
+    zs = jax.random.normal(key, (n_passes, batch, latent_dim))
+    stats = _gen_recal_fn(gen)(state.g_params, state.g_stats, zs)
+    return state._replace(g_stats=stats)
 
 
 _EVAL_CACHE: dict = {}

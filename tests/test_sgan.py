@@ -206,3 +206,38 @@ def test_recalibrate_pooled_moments_are_population_moments(small_sgan):
     v1 = np.asarray(stats1["xz"]["BatchNorm_0"]["var"])
     np.testing.assert_allclose(m2, m1, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(v2, v1, rtol=1e-3, atol=1e-5)
+
+
+def test_recalibrate_gen_stats_matches_population_forward(small_sgan):
+    """Same exactness property as the discriminator test: one pooled
+    pass over a latent batch makes inference-mode generation equal the
+    train-mode (batch-stat) forward on that batch."""
+    cfg, gen, disc, state = small_sgan
+    z = jax.random.normal(jax.random.PRNGKey(5), (16, cfg.latent_dim))
+
+    fn = st._gen_recal_fn(gen)
+    stats = fn(state.g_params, state.g_stats, z[None])
+    recal = state._replace(g_stats=stats)
+
+    out_eval = gen.apply(
+        {"params": recal.g_params, "batch_stats": recal.g_stats},
+        z, train=False,
+    )
+    clone = gen.clone(bn_momentum=0.0)
+    out_train, _ = clone.apply(
+        {"params": state.g_params, "batch_stats": state.g_stats},
+        z, train=True, mutable=["batch_stats"],
+    )
+    for a, b in zip(out_eval, out_train):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+    # Public API smoke: returns a state with the same stats structure.
+    out = st.recalibrate_gen_stats(
+        gen, state, jax.random.PRNGKey(6), cfg.latent_dim,
+        batch=8, n_passes=2,
+    )
+    assert jax.tree_util.tree_structure(
+        out.g_stats
+    ) == jax.tree_util.tree_structure(state.g_stats)
