@@ -31,7 +31,25 @@ LOG_FORMAT = "%(asctime)s %(name)-12s %(levelname)-8s %(message)s"
 logger = logging.getLogger(__name__)
 
 
+def enable_compile_cache(path: str = "/tmp/radarml_jaxcache"):
+    """Persistent XLA compile cache shared by every CLI (and bench.py).
+
+    First compiles of the big programs (grid-search groups, SGAN step,
+    serving predictor) cost 30-90 s each on a tunneled dev TPU; with
+    the cache, repeat invocations of any app reuse them across
+    processes. Safe to call before or after jax initializes a backend.
+    """
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        logger.debug("compile cache unavailable", exc_info=True)
+
+
 def setup_logging(log_file: Optional[str], level: str):
+    enable_compile_cache()  # every app benefits; idempotent
     handlers: List[logging.Handler] = [logging.StreamHandler(sys.stdout)]
     if log_file:
         os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
@@ -42,6 +60,26 @@ def setup_logging(log_file: Optional[str], level: str):
         handlers=handlers,
         force=True,
     )
+
+
+def warm_transfers():
+    """Prime the device↔host transfer path with a tiny round trip.
+
+    On the tunneled dev TPU the FIRST device→host fetch of a process
+    pays a large connection warm-up penalty that scales badly with the
+    fetch size (measured: a 10 MB first fetch can stall minutes, while
+    after any small first fetch the same transfer runs at ~30 MB/s).
+    Apps that pull feature matrices or predictions back to host call
+    this once after logging setup; it is a no-op in cost (~1 s) on a
+    directly-attached device.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        jax.device_get(jnp.zeros((8,), jnp.float32) + 1.0)
+    except Exception:
+        logger.debug("transfer warmup failed", exc_info=True)
 
 
 def add_common_flags(parser: argparse.ArgumentParser):

@@ -29,6 +29,7 @@ from radarml_tpu.apps.common_cli import (
     load_model,
     parse_proj_mask,
     setup_logging,
+    warm_transfers,
 )
 from radarml_tpu.core.arena import DEFAULT_ARENA
 from radarml_tpu.drivers import RadarSession
@@ -78,6 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> list:
     args = build_parser().parse_args(argv)
     setup_logging(args.log_file, args.logging_level)
+    warm_transfers()
 
     model, calib = load_model(args.svm_model)
     le = load_label_encoder(args.label_encoder)

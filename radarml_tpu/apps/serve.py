@@ -21,6 +21,7 @@ from radarml_tpu.apps.common_cli import (
     load_label_encoder,
     load_model,
     setup_logging,
+    warm_transfers,
 )
 from radarml_tpu.core.arena import DEFAULT_ARENA
 from radarml_tpu.models.pipeline import RadarPredictor, UNKNOWN
@@ -64,6 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     setup_logging(None, args.logging_level)
+    warm_transfers()
 
     model, calib = load_model(args.svm_model)
     le = load_label_encoder(args.label_encoder)

@@ -31,6 +31,7 @@ from radarml_tpu.apps.common_cli import (
     save_label_encoder,
     save_model,
     setup_logging,
+    warm_transfers,
 )
 from radarml_tpu.core.arena import RADAR_MAX
 from radarml_tpu.data.labels import LabelEncoder, filter_samples
@@ -106,6 +107,7 @@ def _load_or_synthesize(args):
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     setup_logging(args.log_file, args.logging_level)
+    warm_transfers()
 
     data = _load_or_synthesize(args)
     samples, labels = filter_samples(
