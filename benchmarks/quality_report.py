@@ -61,9 +61,9 @@ def main():
     (Xtr, ytr), (Xva, yva), (Xte, yte) = train_val_test_split(samples, y)
 
     if families & {"sgd", "svc"}:
-        Ftr = process_samples(Xtr, scale=True)
-        Fva = process_samples(Xva, scale=True)
-        Fte = process_samples(Xte, scale=True)
+        Ftr = process_samples(Xtr, scale=True, device=True)
+        Fva = process_samples(Xva, scale=True, device=True)
+        Fte = process_samples(Xte, scale=True, device=True)
 
     if "sgd" in families:
         from radarml_tpu.models.linear import (

@@ -59,7 +59,7 @@ def main():
     t0 = time.perf_counter()
     samples, labels = make_dataset(args.n, seed=42, hardness=args.hardness)
     le, y = LabelEncoder.fit_transform(labels)
-    X = process_samples(samples, scale=True).astype(np.float32)
+    X = process_samples(samples, scale=True, device=True)
     t_data = time.perf_counter() - t0
     print(f"# data: {X.shape} built in {t_data:.1f}s", file=sys.stderr)
 

@@ -144,8 +144,13 @@ def main(argv=None) -> dict:
         result = _fit_svc(args, proj_mask, X_train, y_train)
     logger.info("Fit completed in %.1fs", time.perf_counter() - t0)
 
-    X_val_fv = process_samples(X_val, proj_mask=proj_mask) if len(X_val) else None
-    X_test_fv = process_samples(X_test, proj_mask=proj_mask)
+    # device=True: feature matrices stay on the chip end-to-end; only
+    # small probabilities/predictions return to host.
+    X_val_fv = (
+        process_samples(X_val, proj_mask=proj_mask, device=True)
+        if len(X_val) else None
+    )
+    X_test_fv = process_samples(X_test, proj_mask=proj_mask, device=True)
 
     if result["kind"] == "linear":
         from radarml_tpu.models.linear import (
@@ -227,8 +232,8 @@ def _fit_sgd(args, proj_mask, X_train, y_train, X_test, y_test) -> dict:
 
     logger.info("Using SVM algo: SGD (jitted OvA log-loss).")
     logger.info("Generating feature vectors.")
-    F_train = process_samples(X_train, proj_mask=proj_mask)
-    F_test = process_samples(X_test, proj_mask=proj_mask)
+    F_train = process_samples(X_train, proj_mask=proj_mask, device=True)
+    F_test = process_samples(X_test, proj_mask=proj_mask, device=True)
     logger.info("Feature vector length: %d", F_train.shape[1])
 
     logger.info("Balancing classes.")
@@ -301,7 +306,9 @@ def _fit_sgd(args, proj_mask, X_train, y_train, X_test, y_test) -> dict:
             )
             aug = [(axz[i] * RADAR_MAX, ayz[i] * RADAR_MAX, axy[i] * RADAR_MAX)
                    for i in range(len(ay))]
-            F_aug = process_samples(aug, proj_mask=proj_mask, scale=True)
+            F_aug = process_samples(
+                aug, proj_mask=proj_mask, scale=True, device=True
+            )
             yb, Fb = balance_classes(ay, F_aug)
             state = _fit(Fb, yb, n_classes, cfg, state=state, epochs=1)
             model = sgd_model(state, cfg)
@@ -343,7 +350,7 @@ def _fit_svc(args, proj_mask, X_train, y_train) -> dict:
         logger.info("Augmented number of training samples: %d", len(y_train))
 
     logger.info("Generating feature vectors from radar projections.")
-    F = process_samples(X_train, proj_mask=proj_mask)
+    F = process_samples(X_train, proj_mask=proj_mask, device=True)
     logger.info("Feature vector length: %d", F.shape[1])
     logger.info("Balancing classes.")
     y_bal, F_bal = balance_classes(y_train, F)

@@ -51,7 +51,12 @@ def balance_classes(
         (labels, data) or (labels, data, sup_mask) balanced arrays.
     """
     labels = np.asarray(labels)
-    data = np.asarray(data)
+    # Device (jax) feature matrices gather on device — the pick indices
+    # are computed host-side from the small label vector only, so
+    # balancing never forces a multi-MB device→host round trip.
+    on_device = not isinstance(data, np.ndarray) and hasattr(data, "devices")
+    if not on_device:
+        data = np.asarray(data)
     mc = collections.Counter(labels.tolist()).most_common()
 
     if len(set(c for _, c in mc)) == 1:
@@ -60,26 +65,33 @@ def balance_classes(
         return labels, data
 
     majority = mc[0][1]
-    out_labels, out_data, out_sup = [], [], []
+    out_labels, picks, out_sup = [], [], []
     for cls, _count in mc:
         idx = np.nonzero(labels == cls)[0]
         pick = idx[_resample_indices(len(idx), majority, seed)]
         out_labels.append(labels[pick])
-        out_data.append(data[pick])
+        picks.append(pick)
         if sup_mask is not None:
             out_sup.append(np.asarray(sup_mask)[pick])
 
     labels_b = np.concatenate(out_labels)
-    data_b = np.vstack(out_data) if data.ndim > 1 else np.concatenate(out_data)
+    pick_all = np.concatenate(picks)
     sup_b = np.concatenate(out_sup) if sup_mask is not None else None
 
     if shuffle:
         rng = shuffle_rng or np.random.default_rng(seed)
         perm = np.arange(labels_b.size)
         rng.shuffle(perm)
-        labels_b, data_b = labels_b[perm], data_b[perm]
+        labels_b, pick_all = labels_b[perm], pick_all[perm]
         if sup_b is not None:
             sup_b = sup_b[perm]
+
+    if on_device:
+        import jax.numpy as jnp
+
+        data_b = jnp.take(data, jnp.asarray(pick_all), axis=0)
+    else:
+        data_b = data[pick_all]
 
     logger.debug(
         "balanced %d classes to %d samples each", len(mc), majority

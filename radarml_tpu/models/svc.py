@@ -518,17 +518,21 @@ def svc_fit(
     balanced C, libsvm SV layout, rho→intercept sign, optional Platt
     probability calibration on deterministic stratified folds.
     """
-    X = np.asarray(X, np.float32)
+    # A device-resident X (e.g. from process_samples(device=True))
+    # stays on device: only the (small) Gram and dual solutions cross
+    # back to host, never the feature matrix.
+    Xd = jnp.asarray(X, jnp.float32)
     y = np.asarray(y)
     classes = np.unique(y)
     k = len(classes)
     y_enc = np.searchsorted(classes, y)
-    gamma = _resolve_gamma(cfg.gamma, X)
+    if isinstance(cfg.gamma, str) and cfg.gamma == "scale":
+        gamma = float(1.0 / (Xd.shape[1] * jnp.var(Xd)))
+    else:
+        gamma = _resolve_gamma(cfg.gamma, Xd)
     Cw = _binary_weights(y_enc, np.arange(k), cfg.class_weight)
 
-    K_full = np.asarray(
-        kernel_matrix(jnp.asarray(X), jnp.asarray(X), cfg.kernel, gamma)
-    )
+    K_full = np.asarray(kernel_matrix(Xd, Xd, cfg.kernel, gamma))
     class_idx = [np.where(y_enc == c)[0] for c in range(k)]
     pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
 
@@ -577,7 +581,9 @@ def svc_fit(
     intercept = -rhos
 
     model = SVCModel(
-        support_vectors=jnp.asarray(X[sv_order], jnp.float32),
+        support_vectors=jnp.take(
+            Xd, jnp.asarray(np.asarray(sv_order, np.int32)), axis=0
+        ),
         dual_coef=jnp.asarray(dual),
         intercept=jnp.asarray(intercept, jnp.float32),
         n_support=tuple(n_support),
@@ -589,7 +595,7 @@ def svc_fit(
         return model
 
     probA, probB = _fit_probabilities(
-        X, y_enc, classes, pairs, class_idx, Cw, cfg, gamma, K_full=K_full
+        Xd, y_enc, classes, pairs, class_idx, Cw, cfg, gamma, K_full=K_full
     )
     return dataclasses.replace(
         model,

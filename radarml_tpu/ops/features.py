@@ -132,6 +132,7 @@ def process_samples(
     proj_mask: ProjMask = ProjMask(True, True, True),
     proj_zoom: ProjZoom = ProjZoom((1.0, 1.0), (1.0, 1.0), (1.0, 1.0)),
     scale: bool = False,
+    device: bool = False,
 ) -> np.ndarray:
     """Drop-in batched equivalent of reference common.process_samples.
 
@@ -139,6 +140,11 @@ def process_samples(
     returns the (N, F) feature matrix. All samples must share plane
     shapes (true for any single-arena dataset); the batch then runs as
     one device program instead of N scipy calls.
+
+    With `device=True` the matrix stays device-resident (a jax array)
+    for consumers that keep computing on it — the grid searches, the
+    model fits — so multi-MB feature matrices never cross the
+    device→host link just to be uploaded again.
     """
     xz = np.stack([np.asarray(s[0], dtype=np.float32) for s in samples])
     yz = np.stack([np.asarray(s[1], dtype=np.float32) for s in samples])
@@ -153,4 +159,5 @@ def process_samples(
         scale=scale,
     )
     fn = make_feature_fn(spec)
-    return np.asarray(fn(jnp.asarray(xz), jnp.asarray(yz), jnp.asarray(xy)))
+    out = fn(jnp.asarray(xz), jnp.asarray(yz), jnp.asarray(xy))
+    return out if device else np.asarray(out)

@@ -291,7 +291,12 @@ def _run_grid_sgd_batched(
 
     # Stack the (equal-size) fold training sets once; each penalty
     # group's whole CV — folds × candidates — is then ONE dispatch.
-    Xs = jnp.asarray(np.stack([X[tr] for tr, _ in splits]), jnp.float32)
+    # X transfers (or stays) on device once and every fold gather runs
+    # there — a device-resident X (process_samples(device=True)) never
+    # crosses the host link.
+    Xd = jnp.asarray(X, jnp.float32)
+    y = np.asarray(y)
+    Xs = jnp.stack([jnp.take(Xd, jnp.asarray(tr), axis=0) for tr, _ in splits])
     ys = jnp.asarray(np.stack([y[tr] for tr, _ in splits]), jnp.int32)
 
     scores = np.zeros((len(candidates), folds))
@@ -312,7 +317,7 @@ def _run_grid_sgd_batched(
         coef = states.avg_coef if average else states.coef
         intercept = states.avg_intercept if average else states.intercept
         for f, (tr, te) in enumerate(splits):
-            Xte = jnp.asarray(X[te], jnp.float32)
+            Xte = jnp.take(Xd, jnp.asarray(te), axis=0)
             # (cand, n, C) decisions → per-candidate accuracy.
             dec = (
                 jnp.einsum("nf,kcf->knc", Xte, coef[f])
@@ -423,7 +428,9 @@ def _run_grid_svc_batched(
     import jax.numpy as jnp
 
     t_start = time.perf_counter()
-    X = np.asarray(X, np.float32)
+    # X may arrive device-resident (process_samples(device=True)); the
+    # CV only ever needs it on device, so don't pull it to host here.
+    Xd = jnp.asarray(X, jnp.float32)
     y = np.asarray(y)
     classes = np.unique(y)
     k = len(classes)
@@ -435,7 +442,6 @@ def _run_grid_svc_batched(
     candidates = parameter_grid(grid)
 
     # --- one-time device work: Gram ingredients -----------------------
-    Xd = jnp.asarray(X)
     p = jax.lax.Precision.HIGHEST
     G = jnp.einsum("nf,mf->nm", Xd, Xd, precision=p)
     xx = jnp.einsum("nf,nf->n", Xd, Xd, precision=p)
@@ -554,5 +560,5 @@ def _run_grid_svc_batched(
         if mean > best_score:
             best_score, best_i = mean, ci
     best_params = candidates[best_i]
-    model = jsvc.svc_fit(X, y, make_cfg(best_params, probability))
+    model = jsvc.svc_fit(Xd, y, make_cfg(best_params, probability))
     return GridSearchResult(best_params, best_score, model, cv_results)

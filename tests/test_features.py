@@ -82,3 +82,35 @@ def test_feature_fn_jit_batched(rng):
     assert out.shape == (32, 10010)
     # Scaling puts [0,1) inputs into [0, 1/255).
     assert float(np.max(np.asarray(out))) < 1.0 / 100
+
+
+def test_process_samples_device_matches_host():
+    """device=True returns the same matrix as the default host path,
+    as a device-resident jax array (no host round trip), and the
+    balancer gathers it on device."""
+    import jax
+    import numpy as np
+
+    from radarml_tpu.data.balance import balance_classes
+    from radarml_tpu.ops.features import process_samples
+
+    rng = np.random.default_rng(5)
+    samples = [
+        (
+            rng.random((22, 176)).astype(np.float32),
+            rng.random((31, 176)).astype(np.float32),
+            rng.random((22, 31)).astype(np.float32),
+        )
+        for _ in range(12)
+    ]
+    host = process_samples(samples, scale=True)
+    dev = process_samples(samples, scale=True, device=True)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+
+    y = np.array([0] * 7 + [1] * 5)
+    yb_h, Fb_h = balance_classes(y, host)
+    yb_d, Fb_d = balance_classes(y, dev)
+    assert isinstance(Fb_d, jax.Array)
+    np.testing.assert_array_equal(yb_h, yb_d)
+    np.testing.assert_array_equal(Fb_h, np.asarray(Fb_d))
