@@ -297,17 +297,20 @@ def _fit_sgd(args, proj_mask, X_train, y_train, X_test, y_test) -> dict:
         # Continue with the winner's hyperparameters and schedule state
         # — the reference partial_fits the best estimator itself
         # (train.py:419-438), not a fresh default one.
+        from radarml_tpu.ops.features import process_views
+
         for e in range(args.epochs):
             key, ek = jax.random.split(key)
+            # Device-resident epoch: augment → rescale → featurize →
+            # balance-gather → fit, all without touching the host link.
             (axz, ayz, axy), ay = augment_samples(
                 (xz, yz, xy), np.asarray(y_train), ek,
                 rotation_range=5.0, zoom_range=0.2, noise_sd=0.1,
-                balance=True,
+                balance=True, device=True,
             )
-            aug = [(axz[i] * RADAR_MAX, ayz[i] * RADAR_MAX, axy[i] * RADAR_MAX)
-                   for i in range(len(ay))]
-            F_aug = process_samples(
-                aug, proj_mask=proj_mask, scale=True, device=True
+            F_aug = process_views(
+                axz * RADAR_MAX, ayz * RADAR_MAX, axy * RADAR_MAX,
+                proj_mask=proj_mask, scale=True,
             )
             yb, Fb = balance_classes(ay, F_aug)
             state = _fit(Fb, yb, n_classes, cfg, state=state, epochs=1)
@@ -331,26 +334,38 @@ def _fit_svc(args, proj_mask, X_train, y_train) -> dict:
     X_train = list(X_train)
     y_train = np.asarray(y_train)
     if args.epochs:
+        import jax.numpy as jnp
+
+        from radarml_tpu.ops.features import process_views
+
         logger.info("Augmenting data set.")
         logger.info("Original number of training samples: %d", len(y_train))
         xz, yz, xy = stack_samples(X_train)
         key = jax.random.PRNGKey(RANDOM_SEED)
+        # Device-resident: original + augmented view stacks accumulate
+        # on device and featurize in one program, never crossing host.
+        stacks = [tuple(jnp.asarray(v, jnp.float32) for v in (xz, yz, xy))]
         ys = [y_train]
         for e in range(args.epochs):
             key, ek = jax.random.split(key)
-            (axz, ayz, axy), ay = augment_samples(
+            aug_views, ay = augment_samples(
                 (xz, yz, xy), y_train, ek,
                 rotation_range=15.0, zoom_range=0.3, noise_sd=0.2,
+                device=True,
             )
-            X_train.extend(
-                (axz[i], ayz[i], axy[i]) for i in range(len(ay))
-            )
+            stacks.append(aug_views)
             ys.append(ay)
         y_train = np.concatenate(ys)
         logger.info("Augmented number of training samples: %d", len(y_train))
 
-    logger.info("Generating feature vectors from radar projections.")
-    F = process_samples(X_train, proj_mask=proj_mask, device=True)
+        logger.info("Generating feature vectors from radar projections.")
+        F = process_views(
+            *[jnp.concatenate([s[i] for s in stacks]) for i in range(3)],
+            proj_mask=proj_mask,
+        )
+    else:
+        logger.info("Generating feature vectors from radar projections.")
+        F = process_samples(X_train, proj_mask=proj_mask, device=True)
     logger.info("Feature vector length: %d", F.shape[1])
     logger.info("Balancing classes.")
     y_bal, F_bal = balance_classes(y_train, F)

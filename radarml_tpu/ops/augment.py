@@ -346,6 +346,7 @@ def augment_samples(
     noise_sd: Optional[float] = None,
     balance: bool = False,
     n_zoom_factors: int = 64,
+    device: bool = False,
 ) -> Tuple[Tuple[np.ndarray, np.ndarray, np.ndarray], np.ndarray]:
     """SVM-path generative augmentation (DataGenerator, train.py:34-213).
 
@@ -354,6 +355,11 @@ def augment_samples(
     times when balancing (majority_count / class_count). Data is in
     [0, 1]; all outputs clamp there. Returns the augmented samples only
     (the reference extends the training set with these).
+
+    With `device=True` the augmented view stacks stay device-resident
+    (each input view uploads once and replicates/gathers on device) —
+    pair with features.process_views to keep the whole augment →
+    featurize → fit loop off the host link.
     """
     labels = np.asarray(labels)
     if balance:
@@ -376,21 +382,27 @@ def augment_samples(
         return empty, np.zeros((0,), labels.dtype)
 
     kr, kz, kn = jax.random.split(key, 3)
+    # One upload (or zero, for already-device views) per view; the
+    # replication gather runs on device.
+    rep_idx_d = jnp.asarray(rep_idx)
+    views_rep = tuple(
+        jnp.take(jnp.asarray(v, dtype=jnp.float32), rep_idx_d, axis=0)
+        for v in views
+    )
+    fetch = (lambda a: a) if device else np.asarray
     if rotation_range is not None:
-        for v_i, v in enumerate(views):
-            planes = jnp.asarray(v[rep_idx], dtype=jnp.float32)
+        for v_i, planes in enumerate(views_rep):
             ka = jax.random.fold_in(kr, v_i)
             angles = jax.random.uniform(
                 ka, (b,), minval=-rotation_range, maxval=rotation_range
             )
             out_views[v_i].append(
-                np.asarray(_clamped_rotate_batch(planes, angles, 0.0, 1.0))
+                fetch(_clamped_rotate_batch(planes, angles, 0.0, 1.0))
             )
         out_labels.append(y_rep)
     if zoom_range is not None:
         zoom_idx = jax.random.randint(kz, (b,), 0, n_zoom_factors)
-        for v_i, v in enumerate(views):
-            planes = jnp.asarray(v[rep_idx], dtype=jnp.float32)
+        for v_i, planes in enumerate(views_rep):
             _, rows, cols = zoom_palette(
                 planes.shape[1:], zoom_range, n_zoom_factors
             )
@@ -398,19 +410,19 @@ def augment_samples(
                 planes, zoom_idx,
                 jnp.asarray(rows, jnp.float32), jnp.asarray(cols, jnp.float32),
             )
-            out_views[v_i].append(np.asarray(jnp.clip(zoomed, 0.0, 1.0)))
+            out_views[v_i].append(fetch(jnp.clip(zoomed, 0.0, 1.0)))
         out_labels.append(y_rep)
     if noise_sd is not None:
-        for v_i, v in enumerate(views):
-            planes = jnp.asarray(v[rep_idx], dtype=jnp.float32)
+        for v_i, planes in enumerate(views_rep):
             noised = sparse_noise(
                 planes, jax.random.fold_in(kn, v_i), noise_sd
             )
-            out_views[v_i].append(np.asarray(noised))
+            out_views[v_i].append(fetch(noised))
         out_labels.append(y_rep)
 
     if not out_labels:
         empty = tuple(np.zeros((0,) + v.shape[1:], np.float32) for v in views)
         return empty, np.zeros((0,), labels.dtype)
-    aug = tuple(np.concatenate(parts) for parts in out_views)
+    cat = jnp.concatenate if device else np.concatenate
+    aug = tuple(cat(parts) for parts in out_views)
     return aug, np.concatenate(out_labels)

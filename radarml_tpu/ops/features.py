@@ -161,3 +161,40 @@ def process_samples(
     fn = make_feature_fn(spec)
     out = fn(jnp.asarray(xz), jnp.asarray(yz), jnp.asarray(xy))
     return out if device else np.asarray(out)
+
+
+def process_views(
+    xz,
+    yz,
+    xy,
+    proj_mask: ProjMask = ProjMask(True, True, True),
+    proj_zoom: ProjZoom = ProjZoom((1.0, 1.0), (1.0, 1.0), (1.0, 1.0)),
+    scale: bool = False,
+    device: bool = True,
+):
+    """`process_samples` for already-batched (B, H, W) view stacks.
+
+    Accepts host or device stacks (e.g. augment_samples(device=True)
+    output) without the per-sample list detour, so a device-resident
+    augment → featurize chain involves zero host transfers.
+    """
+    norm_zoom = ProjZoom(*[
+        tuple(np.atleast_1d(z).astype(float)[:2]) if np.ndim(z)
+        else (float(z), float(z))
+        for z in proj_zoom
+    ])
+    spec = FeatureSpec(
+        xz_shape=tuple(xz.shape[1:]),
+        yz_shape=tuple(yz.shape[1:]),
+        xy_shape=tuple(xy.shape[1:]),
+        proj_mask=ProjMask(*proj_mask),
+        proj_zoom=norm_zoom,
+        scale=scale,
+    )
+    fn = make_feature_fn(spec)
+    out = fn(
+        jnp.asarray(xz, jnp.float32),
+        jnp.asarray(yz, jnp.float32),
+        jnp.asarray(xy, jnp.float32),
+    )
+    return out if device else np.asarray(out)

@@ -142,3 +142,55 @@ def test_augment_multiview_roundtrip_shapes(rng):
     )
     assert all(o.shape == v.shape for o, v in zip(out, views))
     assert all(o.min() >= -1.0 and o.max() <= 1.0 for o in out)
+
+
+def test_augment_samples_device_matches_host():
+    """device=True produces the same augmented stacks as the host path
+    (same keys → same transforms), as device-resident jax arrays."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radarml_tpu.ops.augment import augment_samples
+
+    rng = np.random.default_rng(9)
+    views = tuple(
+        rng.random((6, h, w)).astype(np.float32)
+        for h, w in ((22, 176), (31, 176), (22, 31))
+    )
+    y = np.array([0, 0, 1, 1, 2, 2])
+    key = jax.random.PRNGKey(42)
+    host, yh = augment_samples(
+        views, y, key, rotation_range=10.0, zoom_range=0.25, noise_sd=0.15,
+        balance=True,
+    )
+    dev, yd = augment_samples(
+        views, y, key, rotation_range=10.0, zoom_range=0.25, noise_sd=0.15,
+        balance=True, device=True,
+    )
+    np.testing.assert_array_equal(yh, yd)
+    for a, b in zip(host, dev):
+        assert isinstance(b, jax.Array)
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+
+
+def test_process_views_matches_process_samples():
+    import numpy as np
+
+    from radarml_tpu.ops.features import process_samples, process_views
+
+    rng = np.random.default_rng(10)
+    samples = [
+        (
+            rng.random((22, 176)).astype(np.float32),
+            rng.random((31, 176)).astype(np.float32),
+            rng.random((22, 31)).astype(np.float32),
+        )
+        for _ in range(5)
+    ]
+    xz = np.stack([s[0] for s in samples])
+    yz = np.stack([s[1] for s in samples])
+    xy = np.stack([s[2] for s in samples])
+    a = process_samples(samples, scale=True)
+    b = process_views(xz, yz, xy, scale=True, device=False)
+    np.testing.assert_array_equal(a, b)
