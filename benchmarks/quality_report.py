@@ -111,7 +111,7 @@ def main():
 
         t0 = time.perf_counter()
         pre = preprocess_multiview(samples, labels, rescale=RESCALE,
-                                   train_split=0.8)
+                                   train_split=0.8, device=True)
         model = MultiViewCNN(n_classes=pre["n_classes"])
         params = model.init(
             jax.random.PRNGKey(0),
@@ -137,7 +137,7 @@ def main():
         rescale = (32, 32) if args.fast else (128, 128)
         pre = preprocess_multiview(
             samples, labels, rescale=rescale, train_split=1.0,
-            sup_mask=[True] * len(labels), balance=True,
+            sup_mask=[True] * len(labels), balance=True, device=True,
         )
         scfg = SGANConfig(
             n_classes=pre["n_classes"],

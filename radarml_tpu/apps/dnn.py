@@ -82,7 +82,7 @@ def main(argv=None) -> dict:
 
     pre = preprocess_multiview(
         samples, labels, rescale=RESCALE,
-        train_split=args.train_split, augment_fn=augment_fn,
+        train_split=args.train_split, augment_fn=augment_fn, device=True,
     )
     n_classes = pre["n_classes"]
     logger.info("Class weights: %s", pre["w_classes"])

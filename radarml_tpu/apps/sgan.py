@@ -90,7 +90,7 @@ def main(argv=None) -> dict:
     pre = preprocess_multiview(
         samples, labels, rescale=rescale,
         train_split=args.train_split, sup_mask=sup, balance=True,
-        augment_fn=augment_fn,
+        augment_fn=augment_fn, device=True,
     )
     n_classes = pre["n_classes"]
 

@@ -71,6 +71,7 @@ def preprocess_multiview(
     balance: bool = False,
     augment_fn=None,
     seed: int = RANDOM_SEED,
+    device: bool = False,
 ):
     """Full multi-view preprocessing pipeline.
 
@@ -83,6 +84,12 @@ def preprocess_multiview(
         balance: balance the training set by upsampling (SGAN path).
         augment_fn: optional callable (views_stack, rng) → views_stack
             applied after scaling, before resize.
+        device: keep the resized view tensors device-resident (jax
+            arrays) — the CNN/SGAN trainers consume them on device
+            anyway, and the (N, h, w, 3) stack is the largest tensor in
+            the whole flow (~177 MB at reference SGAN scale), so never
+            fetching it avoids the most expensive host round trip in
+            the framework.
 
     Returns:
         dict with X_train, y_train, X_val, y_val, n_classes, w_classes,
@@ -100,11 +107,17 @@ def preprocess_multiview(
     n_classes = len(le.classes_)
     logger.info("Found %d classes and %d samples", n_classes, len(labels))
 
-    views = np.asarray(resize_views(xz, yz, xy, rescale), dtype=np.float32)
+    views = resize_views(xz, yz, xy, rescale)
+    if not device:
+        views = np.asarray(views, dtype=np.float32)
 
     idx = np.arange(views.shape[0])
     rng.shuffle(idx)
-    views, encoded = views[idx], encoded[idx]
+    if device:
+        views = jnp.take(views, jnp.asarray(idx), axis=0)
+    else:
+        views = views[idx]
+    encoded = encoded[idx]
     sup = np.asarray(sup_mask, dtype=bool)[idx] if sup_mask is not None else None
 
     split = min(int(views.shape[0] * train_split), views.shape[0])

@@ -338,19 +338,30 @@ def select_supervised_samples(
     n_classes: int,
     rng: np.random.Generator,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Balanced labeled subset (sgan.py:406-422); with-replacement draw."""
+    """Balanced labeled subset (sgan.py:406-422); with-replacement draw.
+
+    Selection indices come from the (small, host) label vector only, so
+    a device-resident X gathers on device without a host round trip.
+    """
     if sup_mask is None:
         sup_mask = np.ones(len(y), bool)
+    y = np.asarray(y)
+    sup_mask = np.asarray(sup_mask, bool)
     n_per = n_samples // n_classes
-    xs, ys = [], []
+    sel, ys = [], []
     for c in range(n_classes):
-        pool = X[(y == c) & sup_mask]
-        if len(pool) == 0:
+        pool_idx = np.nonzero((y == c) & sup_mask)[0]
+        if len(pool_idx) == 0:
             raise ValueError(f"Not enough class {c} sup samples")
-        ix = rng.integers(0, len(pool), n_per)
-        xs.append(pool[ix])
+        ix = rng.integers(0, len(pool_idx), n_per)
+        sel.append(pool_idx[ix])
         ys.append(np.full(n_per, c))
-    return np.concatenate(xs), np.concatenate(ys)
+    sel = np.concatenate(sel)
+    if isinstance(X, np.ndarray):
+        X_sup = X[sel]
+    else:
+        X_sup = jnp.take(X, jnp.asarray(sel), axis=0)
+    return X_sup, np.concatenate(ys)
 
 
 def generate_fake_dataset(
@@ -666,16 +677,17 @@ def classifier_eval(
     whole eval) and padding rows are ignored in the count.
     """
     fn = _eval_fn(disc)
+    Xd = jnp.asarray(X, jnp.float32)  # no-op for device-resident X
     correct = 0
     for s in range(0, len(y), batch):
-        xb = np.asarray(X[s : s + batch])
+        xb = Xd[s : s + batch]
         n = xb.shape[0]
         if n < batch:
-            xb = np.concatenate(
-                [xb, np.zeros((batch - n,) + xb.shape[1:], xb.dtype)]
+            xb = jnp.concatenate(
+                [xb, jnp.zeros((batch - n,) + xb.shape[1:], xb.dtype)]
             )
-        logits = fn(state.d_params, state.d_stats, jnp.asarray(xb))
-        pred = np.asarray(logits).argmax(-1)[:n]
+        logits = fn(state.d_params, state.d_stats, xb)
+        pred = np.asarray(logits).argmax(-1)[:n]  # small (batch, C) fetch
         correct += int((pred == y[s : s + n]).sum())
     return correct / max(len(y), 1)
 
