@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_detections", action="store_true")
     p.add_argument("--sensors", type=int, default=1,
                    help="number of (synthetic) sensors to multiplex")
+    p.add_argument("--export_serving", type=str, default="",
+                   help="export the compiled predictor (symbolic batch, "
+                        "weights folded in) to this path and exit; the "
+                        "artifact serves via --serving_artifact with no "
+                        "model pickles or pipeline code")
+    p.add_argument("--serving_artifact", type=str, default="",
+                   help="serve from an AOT artifact written by "
+                        "--export_serving instead of building the "
+                        "predictor from --svm_model")
     add_driver_flags(p)
     add_common_flags(p)
     return p
@@ -67,14 +76,36 @@ def main(argv=None) -> dict:
     setup_logging(None, args.logging_level)
     warm_transfers()
 
-    model, calib = load_model(args.svm_model)
     le = load_label_encoder(args.label_encoder)
-    predictor = RadarPredictor(
-        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
-        model=model, calibration=calib,
-        min_proba=args.min_proba, mode=args.mode,
-        cube_dtype=args.cube_dtype,
-    )
+    if args.serving_artifact:
+        from radarml_tpu.serving import load_serving_artifact
+
+        predictor = load_serving_artifact(args.serving_artifact)
+        logger.info(
+            "serving from AOT artifact %s (mode=%s, platforms=%s)",
+            args.serving_artifact, predictor.mode, predictor.platforms,
+        )
+    else:
+        model, calib = load_model(args.svm_model)
+        predictor = RadarPredictor(
+            train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+            model=model, calibration=calib,
+            min_proba=args.min_proba, mode=args.mode,
+            cube_dtype=args.cube_dtype,
+        )
+    if args.export_serving:
+        if args.serving_artifact:
+            raise SystemExit(
+                "--export_serving needs a predictor built from "
+                "--svm_model, not --serving_artifact"
+            )
+        from radarml_tpu.serving import export_predictor
+
+        export_predictor(
+            predictor, args.export_serving,
+            platforms=("tpu", "cpu"),
+        )
+        return {"exported": args.export_serving}
 
     def on_detection(d):
         if args.log_detections:

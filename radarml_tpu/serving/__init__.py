@@ -1,3 +1,8 @@
+from radarml_tpu.serving.export import (
+    ServingArtifact,
+    export_predictor,
+    load_serving_artifact,
+)
 from radarml_tpu.serving.stream import (
     Detection,
     Scan,
@@ -10,8 +15,11 @@ from radarml_tpu.serving.stream import (
 __all__ = [
     "Detection",
     "Scan",
+    "ServingArtifact",
     "StreamConfig",
     "StreamingClassifier",
     "driver_scan_source",
+    "export_predictor",
+    "load_serving_artifact",
     "native_scan_source",
 ]

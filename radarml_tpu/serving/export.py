@@ -1,0 +1,126 @@
+"""AOT serving artifacts: ship the compiled predictor, not the code.
+
+The reference deploys by unpickling an sklearn estimator into the same
+Python code that trained it (reference predict.py:224-227). For
+production TPU serving we additionally support exporting the ENTIRE
+jitted predict program — slicing, zoom, feature build, calibrated
+scoring, thresholding — as one portable `jax.export` artifact:
+
+* the batch dimension is symbolic, so one artifact serves any batch
+  size with no per-shape retrace;
+* reloading needs no model weights, no pipeline construction, and no
+  radarml_tpu model code — the weights are constants folded into the
+  program (a serving host needs only jax + this loader);
+* the StableHLO payload is versioned and platform-checked by jax.export
+  itself, and round-trips bit-identically (tests/test_export.py).
+
+`apps.serve --export_serving/--serving_artifact` wire this into the
+streaming service.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import pickle
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+FORMAT = "radarml_tpu.serving_export.v1"
+
+
+def export_predictor(
+    predictor,
+    path: str,
+    max_targets: int = 4,
+    platforms: Optional[Sequence[str]] = None,
+) -> dict:
+    """Export a RadarPredictor's jitted program to `path`.
+
+    Args:
+        predictor: a models.pipeline.RadarPredictor (any mode/dtype).
+        path: output file.
+        max_targets: static target-slot axis baked into the program
+            (the batch axis stays symbolic).
+        platforms: lowering platforms, e.g. ("tpu", "cpu"). Defaults to
+            the current backend only.
+
+    Returns the artifact metadata dict.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    (b,) = jexport.symbolic_shape("b")
+    grid = predictor.scan_arena.grid_shape
+    cube_dtype = jnp.dtype(predictor.cube_dtype)
+    args = (
+        jax.ShapeDtypeStruct((b,) + tuple(grid), cube_dtype),
+        jax.ShapeDtypeStruct((b, max_targets, 3), jnp.float32),
+        jax.ShapeDtypeStruct((b, max_targets), jnp.bool_),
+    )
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jexport.export(predictor._fn, **kwargs)(*args)
+    meta = {
+        "format": FORMAT,
+        "mode": predictor.mode,
+        "cube_dtype": str(predictor.cube_dtype),
+        "min_proba": float(predictor.min_proba),
+        "max_targets": int(max_targets),
+        "grid_shape": tuple(int(g) for g in grid),
+        "platforms": list(exported.platforms),
+    }
+    with open(path, "wb") as fp:
+        pickle.dump({**meta, "blob": exported.serialize()}, fp)
+    logger.info(
+        "exported serving program to %s (%s, batch symbolic, T=%d)",
+        path, meta["platforms"], max_targets,
+    )
+    return meta
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingArtifact:
+    """Loaded AOT predictor: call like a RadarPredictor."""
+
+    call: Callable
+    mode: str
+    cube_dtype: str
+    min_proba: float
+    max_targets: int
+    grid_shape: Tuple[int, ...]
+    platforms: Tuple[str, ...]
+
+    def __call__(self, cubes, xyz, valid):
+        import jax.numpy as jnp
+
+        return self.call(
+            jnp.asarray(cubes, dtype=jnp.dtype(self.cube_dtype)),
+            jnp.asarray(xyz, jnp.float32),
+            jnp.asarray(valid, bool),
+        )
+
+
+def load_serving_artifact(path: str) -> ServingArtifact:
+    """Load an exported predictor; no model code or weights needed."""
+    from jax import export as jexport
+
+    with open(path, "rb") as fp:
+        payload = pickle.load(fp)
+    if payload.get("format") != FORMAT:
+        raise ValueError(f"not a serving export artifact: {path}")
+    exported = jexport.deserialize(payload["blob"])
+    return ServingArtifact(
+        call=exported.call,
+        mode=payload["mode"],
+        cube_dtype=payload["cube_dtype"],
+        min_proba=payload["min_proba"],
+        max_targets=payload["max_targets"],
+        grid_shape=tuple(payload["grid_shape"]),
+        platforms=tuple(payload["platforms"]),
+    )

@@ -1,0 +1,101 @@
+"""AOT serving artifacts: export → file → load → bit parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radarml_tpu.core.arena import DEFAULT_ARENA
+from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+from radarml_tpu.models.pipeline import RadarPredictor, pad_targets
+from radarml_tpu.serving import export_predictor, load_serving_artifact
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    rng = np.random.default_rng(0)
+    C, F = 3, DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(C, F)) * 0.01, jnp.float32),
+        intercept=jnp.zeros((C,), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((C,), jnp.float32), b=jnp.zeros((C,), jnp.float32)
+    )
+    return RadarPredictor(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib, mode="fast", cube_dtype="uint8",
+    )
+
+
+def test_export_roundtrip_bit_parity_and_symbolic_batch(tmp_path, predictor):
+    path = str(tmp_path / "serving.rmlx")
+    meta = export_predictor(predictor, path, max_targets=4)
+    assert meta["format"].startswith("radarml_tpu.serving_export")
+
+    art = load_serving_artifact(path)
+    assert art.cube_dtype == "uint8"
+    assert art.max_targets == 4
+
+    rng = np.random.default_rng(1)
+    # Two different batch sizes through ONE artifact (symbolic batch).
+    for B in (2, 7):
+        cubes = np.rint(
+            rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255
+        ).astype(np.float32)
+        xyz, valid = pad_targets(
+            [[(5.0, 5.0, 100.0 + 3 * b)] for b in range(B)], max_targets=4
+        )
+        pred_live = predictor(cubes, xyz, valid)
+        pred_art = art(cubes, xyz, valid)
+        np.testing.assert_array_equal(
+            np.asarray(pred_live[0]), np.asarray(pred_art[0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(pred_live[2]), np.asarray(pred_art[2]), atol=1e-6
+        )
+
+
+def test_load_rejects_non_artifact(tmp_path):
+    bogus = tmp_path / "bogus.pickle"
+    import pickle
+
+    with open(bogus, "wb") as fp:
+        pickle.dump({"format": "something_else"}, fp)
+    with pytest.raises(ValueError):
+        load_serving_artifact(str(bogus))
+
+
+def test_serve_cli_export_and_artifact_serving(tmp_path, predictor):
+    """The serve CLI exports an artifact and serves from it."""
+    import pickle
+
+    from radarml_tpu.apps import serve as serve_app
+    from radarml_tpu.apps.common_cli import save_label_encoder, save_model
+    from radarml_tpu.data.labels import LabelEncoder
+
+    model_path = str(tmp_path / "svm.pickle")
+    le_path = str(tmp_path / "le.pickle")
+    save_model(
+        model_path, "linear",
+        coef=np.asarray(predictor.model.coef),
+        intercept=np.asarray(predictor.model.intercept),
+        calib_a=np.asarray(predictor.calibration.a),
+        calib_b=np.asarray(predictor.calibration.b),
+        classes=["cat", "dog", "person"],
+    )
+    save_label_encoder(
+        le_path, LabelEncoder(classes_=["cat", "dog", "person"])
+    )
+    art_path = str(tmp_path / "serving.rmlx")
+    out = serve_app.main([
+        "--svm_model", model_path, "--label_encoder", le_path,
+        "--cube_dtype", "uint8", "--export_serving", art_path,
+    ])
+    assert out == {"exported": art_path}
+
+    stats = serve_app.main([
+        "--label_encoder", le_path, "--serving_artifact", art_path,
+        "--duration", "1.5", "--scan_period", "0.02", "--max_batch", "8",
+    ])
+    assert stats["processed"] > 0
