@@ -46,9 +46,10 @@ def main():
 
     import jax
 
-    from radarml_tpu.apps.common_cli import enable_compile_cache
+    from radarml_tpu.apps.common_cli import enable_compile_cache, warm_transfers
 
     enable_compile_cache()
+    warm_transfers()
 
     from radarml_tpu.data.labels import LabelEncoder
     from radarml_tpu.data.split import train_val_test_split
