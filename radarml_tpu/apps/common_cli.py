@@ -211,6 +211,53 @@ def load_model(path: str):
                     a=jnp.asarray(obj["calib_a"]), b=jnp.asarray(obj["calib_b"])
                 )
             return model, calib
+        if kind == "cnn":
+            import jax
+
+            from radarml_tpu.models.cnn import MultiViewCNN
+            from radarml_tpu.models.pipeline import NeuralClassifier
+
+            classes = list(obj["classes"])
+            module = MultiViewCNN(n_classes=len(classes))
+            params = jax.tree.map(jnp.asarray, obj["params"])
+
+            def apply(views):
+                return module.apply({"params": params}, views, train=False)
+
+            return (
+                NeuralClassifier(
+                    apply=apply,
+                    rescale=tuple(obj["rescale"]),
+                    n_classes=len(classes),
+                ),
+                None,
+            )
+        if kind == "sgan_classifier":
+            import jax
+
+            from radarml_tpu.models.pipeline import NeuralClassifier
+            from radarml_tpu.models.sgan import Discriminator
+
+            classes = list(obj["classes"])
+            module = Discriminator(n_classes=len(classes))
+            d_params = jax.tree.map(jnp.asarray, obj["d_params"])
+            d_stats = jax.tree.map(jnp.asarray, obj["d_stats"])
+
+            def apply(views):
+                split = tuple(views[..., i : i + 1] for i in range(3))
+                return module.apply(
+                    {"params": d_params, "batch_stats": d_stats},
+                    split, train=False,
+                )
+
+            return (
+                NeuralClassifier(
+                    apply=apply,
+                    rescale=tuple(obj["rescale"]),
+                    n_classes=len(classes),
+                ),
+                None,
+            )
         if kind == "svc":
             model = SVCModel(
                 support_vectors=jnp.asarray(obj["support_vectors"]),

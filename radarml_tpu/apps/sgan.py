@@ -128,7 +128,31 @@ def main(argv=None) -> dict:
         checkpoint_dir=args.checkpoint_dir or None,
         resume=args.resume,
     )
-    return {"state": state, "classes": list(pre["label_encoder"].classes_)}
+
+    # Serving artifact for the supervised head: loads via
+    # common_cli.load_model into the RadarPredictor / serve CLI like
+    # any other family (the reference's c_model_%04d.h5 analog,
+    # sgan.py:497-500, made directly servable).
+    import pickle
+
+    import numpy as np
+
+    classes = list(pre["label_encoder"].classes_)
+    c_path = os.path.join(args.results_dir, "c_model.pickle")
+    with open(c_path, "wb") as fp:
+        pickle.dump(
+            {
+                "format": "radarml_tpu.v1",
+                "kind": "sgan_classifier",
+                "d_params": jax.tree.map(np.asarray, state.d_params),
+                "d_stats": jax.tree.map(np.asarray, state.d_stats),
+                "classes": classes,
+                "rescale": rescale,
+            },
+            fp,
+        )
+    logger.info("Saved classifier to %s", c_path)
+    return {"state": state, "classes": classes, "model_path": c_path}
 
 
 if __name__ == "__main__":

@@ -40,6 +40,24 @@ UNKNOWN = -1  # prediction index when below min_proba (the "Unknown" label)
 
 
 @dataclasses.dataclass(frozen=True)
+class NeuralClassifier:
+    """Serving wrapper for the neural families (CNN / SGAN classifier).
+
+    The reference can only serve its sklearn SVM pickle
+    (predict.py:224-227); here every trained family plugs into the same
+    RadarPredictor: targets slice out of the cube, each projection
+    bicubic-resizes to `rescale` and scales to [-1, 1] exactly as
+    training preprocessing did (dnn.py:202-245 semantics,
+    data/preprocess.py), and `apply` maps the (N, h, w, 3) view stack
+    to (N, n_classes) logits in inference mode.
+    """
+
+    apply: Callable
+    rescale: Tuple[int, int]
+    n_classes: int
+
+
+@dataclasses.dataclass(frozen=True)
 class RadarPredictor:
     """Batched scan→detections predictor.
 
@@ -77,7 +95,9 @@ class RadarPredictor:
             # the throughput default anyway.
             raise ValueError("pallas mode supports float32/bfloat16 streams")
         is_linear = type(self.model).__name__ == "LinearModel"
-        if self.mode == "pallas" and is_linear:
+        if type(self.model).__name__ == "NeuralClassifier":
+            object.__setattr__(self, "_fn", self._build_neural())
+        elif self.mode == "pallas" and is_linear:
             object.__setattr__(self, "_fn", self._build_pallas())
         elif self.mode == "fast" and is_linear:
             object.__setattr__(self, "_fn", self._build_folded())
@@ -321,6 +341,62 @@ class RadarPredictor:
             else:
                 proba = predict_proba_log_loss(model, feats)
             proba = proba.reshape(B, T, -1)
+            best = jnp.argmax(proba, axis=-1).astype(jnp.int32)
+            best_p = jnp.max(proba, axis=-1)
+            pred = jnp.where(best_p >= min_proba, best, UNKNOWN)
+            pred = jnp.where(target_valid, pred, UNKNOWN)
+            return pred, best_p, proba
+
+        return predict_batch
+
+    def _build_neural(self) -> Callable:
+        """Serving path for NeuralClassifier models (CNN / SGAN c-head).
+
+        Per target: slice the three projections, reproduce the training
+        preprocessing exactly — scale [0, RADAR_MAX] → [-1, 1]
+        (dnn.py:202-204), PIL-parity bicubic resize to the model's
+        rescale (dnn.py:240-245 / data/preprocess.resize_views) — then
+        run the network in inference mode and softmax the logits.
+        """
+        from radarml_tpu.ops.resample import bicubic_pair
+
+        scan = self.scan_arena
+        model: NeuralClassifier = self.model
+        min_proba = self.min_proba
+        half = RADAR_MAX / 2.0
+        p = jax.lax.Precision.HIGHEST
+        mats = []
+        for shape in (scan.xz_shape, scan.yz_shape, scan.xy_shape):
+            r, c = bicubic_pair(tuple(shape), tuple(model.rescale))
+            mats.append(
+                (jnp.asarray(r, jnp.float32), jnp.asarray(c, jnp.float32))
+            )
+
+        def per_target(cube, xyz):
+            cube = cube.astype(jnp.float32)
+            i, j, k = scan.clamped_matrix_indices(xyz[0], xyz[1], xyz[2])
+            yz = jax.lax.dynamic_index_in_dim(cube, i, axis=0, keepdims=False)
+            xz = jax.lax.dynamic_index_in_dim(cube, j, axis=1, keepdims=False)
+            xy = jax.lax.dynamic_index_in_dim(cube, k, axis=2, keepdims=False)
+            views = []
+            for plane, (r, c) in zip((xz, yz, xy), mats):
+                sym = (plane - half) / half
+                out = jnp.einsum("oh,hw->ow", r, sym, precision=p)
+                out = jnp.einsum("ow,pw->op", out, c, precision=p)
+                views.append(out)
+            return jnp.stack(views, axis=-1)  # (h, w, 3) in XZ,YZ,XY order
+
+        feat_fn = jax.vmap(
+            jax.vmap(per_target, in_axes=(None, 0)), in_axes=(0, 0)
+        )
+
+        @jax.jit
+        def predict_batch(cubes, target_xyz, target_valid):
+            B, T = target_xyz.shape[:2]
+            views = feat_fn(cubes, target_xyz)
+            views = views.reshape((B * T,) + tuple(model.rescale) + (3,))
+            logits = model.apply(views)
+            proba = jax.nn.softmax(logits, axis=-1).reshape(B, T, -1)
             best = jnp.argmax(proba, axis=-1).astype(jnp.int32)
             best_p = jnp.max(proba, axis=-1)
             pred = jnp.where(best_p >= min_proba, best, UNKNOWN)
