@@ -120,6 +120,10 @@ def main():
 
     import jax.numpy as jnp
 
+    from radarml_tpu.apps.common_cli import warm_transfers
+
+    warm_transfers()  # prime the tunnel's device→host path (CLAUDE.md)
+
     from radarml_tpu.core.arena import DEFAULT_ARENA
     from radarml_tpu.data.labels import LabelEncoder
     from radarml_tpu.data.synthetic import make_dataset, make_scan_batch
