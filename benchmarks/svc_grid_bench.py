@@ -45,11 +45,10 @@ def main():
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/radarml_jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from radarml_tpu.apps.common_cli import enable_compile_cache, warm_transfers
+
+    enable_compile_cache()
+    warm_transfers()
 
     from radarml_tpu.data.labels import LabelEncoder
     from radarml_tpu.data.synthetic import make_dataset

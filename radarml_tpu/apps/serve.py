@@ -76,6 +76,11 @@ def main(argv=None) -> dict:
     setup_logging(None, args.logging_level)
     warm_transfers()
 
+    if args.export_serving and args.serving_artifact:
+        raise SystemExit(
+            "--export_serving needs a predictor built from "
+            "--svm_model, not --serving_artifact"
+        )
     le = load_label_encoder(args.label_encoder)
     if args.serving_artifact:
         from radarml_tpu.serving import load_serving_artifact
@@ -85,6 +90,13 @@ def main(argv=None) -> dict:
             "serving from AOT artifact %s (mode=%s, platforms=%s)",
             args.serving_artifact, predictor.mode, predictor.platforms,
         )
+        if abs(predictor.min_proba - args.min_proba) > 1e-9:
+            logger.warning(
+                "--min_proba %.2f ignored: the artifact bakes in %.2f "
+                "(thresholds are constants in the exported program; "
+                "re-export to change)",
+                args.min_proba, predictor.min_proba,
+            )
     else:
         model, calib = load_model(args.svm_model)
         predictor = RadarPredictor(
@@ -94,16 +106,13 @@ def main(argv=None) -> dict:
             cube_dtype=args.cube_dtype,
         )
     if args.export_serving:
-        if args.serving_artifact:
-            raise SystemExit(
-                "--export_serving needs a predictor built from "
-                "--svm_model, not --serving_artifact"
-            )
         from radarml_tpu.serving import export_predictor
 
+        # The Pallas kernel only lowers for the backend it was built
+        # against; the XLA modes export portably for both.
+        platforms = None if args.mode == "pallas" else ("tpu", "cpu")
         export_predictor(
-            predictor, args.export_serving,
-            platforms=("tpu", "cpu"),
+            predictor, args.export_serving, platforms=platforms,
         )
         return {"exported": args.export_serving}
 

@@ -60,8 +60,10 @@ def balance_classes(
     mc = collections.Counter(labels.tolist()).most_common()
 
     if len(set(c for _, c in mc)) == 1:
+        # Reference early-return: unchanged, unshuffled; note the SGAN
+        # variant's (data, labels, sup) order (sgan.py:336-337).
         if sup_mask is not None:
-            return labels, data, np.asarray(sup_mask)
+            return data, labels, np.asarray(sup_mask)
         return labels, data
 
     majority = mc[0][1]

@@ -449,10 +449,11 @@ class SVCConfig:
     seed: int = 1234
 
 
-def _resolve_gamma(gamma, X: np.ndarray) -> float:
+def _resolve_gamma(gamma, X) -> float:
+    """sklearn gamma rule; X may be a numpy or (device) jax array."""
     if isinstance(gamma, str):
         if gamma == "scale":
-            return 1.0 / (X.shape[1] * X.var())
+            return float(1.0 / (X.shape[1] * X.var()))
         if gamma == "auto":
             return 1.0 / X.shape[1]
         raise ValueError(gamma)
@@ -526,10 +527,7 @@ def svc_fit(
     classes = np.unique(y)
     k = len(classes)
     y_enc = np.searchsorted(classes, y)
-    if isinstance(cfg.gamma, str) and cfg.gamma == "scale":
-        gamma = float(1.0 / (Xd.shape[1] * jnp.var(Xd)))
-    else:
-        gamma = _resolve_gamma(cfg.gamma, Xd)
+    gamma = _resolve_gamma(cfg.gamma, Xd)
     Cw = _binary_weights(y_enc, np.arange(k), cfg.class_weight)
 
     K_full = np.asarray(kernel_matrix(Xd, Xd, cfg.kernel, gamma))

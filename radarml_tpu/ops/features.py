@@ -149,18 +149,10 @@ def process_samples(
     xz = np.stack([np.asarray(s[0], dtype=np.float32) for s in samples])
     yz = np.stack([np.asarray(s[1], dtype=np.float32) for s in samples])
     xy = np.stack([np.asarray(s[2], dtype=np.float32) for s in samples])
-    norm_zoom = ProjZoom(*[tuple(np.atleast_1d(z).astype(float)[:2]) if np.ndim(z) else (float(z), float(z)) for z in proj_zoom])
-    spec = FeatureSpec(
-        xz_shape=xz.shape[1:],
-        yz_shape=yz.shape[1:],
-        xy_shape=xy.shape[1:],
-        proj_mask=ProjMask(*proj_mask),
-        proj_zoom=norm_zoom,
-        scale=scale,
+    return process_views(
+        xz, yz, xy,
+        proj_mask=proj_mask, proj_zoom=proj_zoom, scale=scale, device=device,
     )
-    fn = make_feature_fn(spec)
-    out = fn(jnp.asarray(xz), jnp.asarray(yz), jnp.asarray(xy))
-    return out if device else np.asarray(out)
 
 
 def process_views(

@@ -515,6 +515,19 @@ def train_sgan(
 _RECAL_CACHE: dict = {}
 
 
+def _pool_stats(tree):
+    """Pooled BatchNorm stats over a leading P axis: exact population
+    moments of the union of P equal-size batches (mean of means;
+    E[var + mean²] − pooled_mean²)."""
+    if isinstance(tree, dict) and set(tree) == {"mean", "var"}:
+        m = jnp.mean(tree["mean"], axis=0)
+        v = jnp.mean(tree["var"] + tree["mean"] ** 2, axis=0) - m**2
+        return {"mean": m, "var": jnp.maximum(v, 0.0)}
+    if isinstance(tree, dict):
+        return {k: _pool_stats(v) for k, v in tree.items()}
+    raise TypeError(f"unexpected batch_stats node {type(tree)}")
+
+
 def _recal_fn(disc: Discriminator):
     """Jitted precise-BN stat pooling, cached per discriminator.
 
@@ -529,17 +542,7 @@ def _recal_fn(disc: Discriminator):
     # (mean, var) — independent of the carried stats, since train-mode
     # BN normalizes by the current batch.
     recal = disc.clone(dropout_rate=0.0, bn_momentum=0.0)
-
-    def pool(tree):
-        """Pooled stats over the leading P axis: exact population
-        moments of the union of batches (equal batch sizes)."""
-        if isinstance(tree, dict) and set(tree) == {"mean", "var"}:
-            m = jnp.mean(tree["mean"], axis=0)
-            v = jnp.mean(tree["var"] + tree["mean"] ** 2, axis=0) - m**2
-            return {"mean": m, "var": jnp.maximum(v, 0.0)}
-        if isinstance(tree, dict):
-            return {k: pool(v) for k, v in tree.items()}
-        raise TypeError(f"unexpected batch_stats node {type(tree)}")
+    pool = _pool_stats
 
     @jax.jit
     def fn(d_params, stats, batches):
@@ -601,15 +604,7 @@ def _gen_recal_fn(gen: Generator):
     if fn is not None:
         return fn
     recal = gen.clone(bn_momentum=0.0)
-
-    def pool(tree):
-        if isinstance(tree, dict) and set(tree) == {"mean", "var"}:
-            m = jnp.mean(tree["mean"], axis=0)
-            v = jnp.mean(tree["var"] + tree["mean"] ** 2, axis=0) - m**2
-            return {"mean": m, "var": jnp.maximum(v, 0.0)}
-        if isinstance(tree, dict):
-            return {k: pool(v) for k, v in tree.items()}
-        raise TypeError(f"unexpected batch_stats node {type(tree)}")
+    pool = _pool_stats
 
     @jax.jit
     def fn(g_params, stats, zs):

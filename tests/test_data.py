@@ -164,3 +164,16 @@ def test_preprocess_multiview_shapes_and_split(rng):
                                 train_split=1.0,
                                 sup_mask=[True] * len(labels))
     assert pre2["X_val"].shape[0] > 0
+
+
+def test_balance_classes_sup_mask_early_return_order(rng):
+    """Already-balanced input with a sup mask returns (data, labels,
+    sup) unchanged — the SGAN-variant order (reference sgan.py:336-337);
+    regression for a swap that fed labels as X_train."""
+    y = np.array([0] * 4 + [1] * 4 + [2] * 4)
+    X = rng.random((12, 4))
+    sup = np.array([True] * 6 + [False] * 6)
+    Xb, yb, supb = balance_classes(y, X, sup_mask=sup, shuffle=True)
+    np.testing.assert_array_equal(Xb, X)
+    np.testing.assert_array_equal(yb, y)
+    np.testing.assert_array_equal(supb, sup)
