@@ -195,22 +195,28 @@ class RadarPredictor:
             if t_xz is not None:
                 M1 = jnp.einsum("cxz,bxyz->bcy", t_xz, cubes, precision=p)
                 dec = dec + jnp.take_along_axis(
-                    M1[:, None, :, :].repeat(T, 1),
-                    ijk[..., 1][..., None, None],
+                    # (B,1,C,·) broadcasts against (B,T,1,1) indices —
+                    # no materialized T-fold repeat of the tables.
+                    M1[:, None, :, :],
+                    ijk[..., 1][:, :, None, None],
                     axis=3,
                 )[..., 0]
             if t_yz is not None:
                 M2 = jnp.einsum("cyz,bxyz->bcx", t_yz, cubes, precision=p)
                 dec = dec + jnp.take_along_axis(
-                    M2[:, None, :, :].repeat(T, 1),
-                    ijk[..., 0][..., None, None],
+                    # (B,1,C,·) broadcasts against (B,T,1,1) indices —
+                    # no materialized T-fold repeat of the tables.
+                    M2[:, None, :, :],
+                    ijk[..., 0][:, :, None, None],
                     axis=3,
                 )[..., 0]
             if t_xy is not None:
                 M3 = jnp.einsum("cxy,bxyz->bcz", t_xy, cubes, precision=p)
                 dec = dec + jnp.take_along_axis(
-                    M3[:, None, :, :].repeat(T, 1),
-                    ijk[..., 2][..., None, None],
+                    # (B,1,C,·) broadcasts against (B,T,1,1) indices —
+                    # no materialized T-fold repeat of the tables.
+                    M3[:, None, :, :],
+                    ijk[..., 2][:, :, None, None],
                     axis=3,
                 )[..., 0]
             dec = dec.reshape(B * T, -1)
