@@ -94,10 +94,15 @@ def main():
                   w_classes=None, config=cfg)
         return time.perf_counter() - t0
 
-    cnn_wall(2)  # compile + warm
-    t_lo = min(cnn_wall(3) for _ in range(2))
-    t_hi = min(cnn_wall(13) for _ in range(2))
-    cnn_epoch_s = (t_hi - t_lo) / 10
+    # The whole training run is ONE while_loop dispatch, so the
+    # per-epoch marginal is tiny; spread the slope over 100 epochs to
+    # resolve it above dispatch jitter.
+    cnn_wall(2)  # compile + warm (cache covers other epoch counts)
+    cnn_wall(10)
+    cnn_wall(110)
+    t_lo = min(cnn_wall(10) for _ in range(2))
+    t_hi = min(cnn_wall(110) for _ in range(2))
+    cnn_epoch_s = (t_hi - t_lo) / 100
 
     print(
         json.dumps(

@@ -124,15 +124,6 @@ def train_cnn(
             params = jax.lax.with_sharding_constraint(params, rep_sh)
         return (params, opt_state, key), (loss, acc)
 
-    @jax.jit
-    def train_epoch(params, opt_state, key, perm):
-        batches = perm[:n_used].reshape(n_batches, bs)
-        (params, opt_state, key), (losses, accs) = jax.lax.scan(
-            one_batch, (params, opt_state, key), batches
-        )
-        return params, opt_state, losses.mean(), accs.mean()
-
-    @jax.jit
     def eval_all(params):
         logits = model.apply({"params": params}, Xv, train=False)
         logp = jax.nn.log_softmax(logits)
@@ -142,48 +133,91 @@ def train_cnn(
 
     rng = np.random.default_rng(config.seed)
     key = jax.random.PRNGKey(config.seed)
-    history: Dict[str, List[float]] = {
-        "loss": [], "accuracy": [], "val_loss": [], "val_accuracy": []
-    }
-    best_val = np.inf
-    best_params = params
-    stale = 0
+    has_val = len(yv) > 0
+    E = config.epochs
+    patience = config.patience
 
-    for epoch in range(config.epochs):
-        t0 = time.perf_counter()
-        perm = jnp.asarray(rng.permutation(n))
+    # The ENTIRE training run — every epoch's batch scan, validation
+    # pass, Keras-style best-checkpoint tracking, and early stopping —
+    # is ONE device dispatch (lax.while_loop over epochs). The previous
+    # host loop paid ~5 device↔host round trips per epoch (metric
+    # floats, best-params fetches); on a high-latency link that chatter
+    # cost ~8× the epoch's actual compute. Permutations for all epochs
+    # upload once; history comes back as one (E, 4) array afterwards.
+    perms_np = np.stack([rng.permutation(n)[:n_used] for _ in range(E)])
+    perms = jnp.asarray(perms_np.reshape(E, n_batches, bs), jnp.int32)
+
+    def epoch_body(carry):
+        params, opt_state, epoch, best_params, best_val, stale, hist = carry
         # Distinct dropout stream per epoch: fold_in decorrelates epochs
         # (re-splitting the same base key would replay epoch e's batch
         # masks in epoch e+1, offset by one batch).
-        params, opt_state, ep_loss, ep_acc = train_epoch(
-            params, opt_state, jax.random.fold_in(key, epoch), perm
+        ekey = jax.random.fold_in(key, epoch)
+        batches = jax.lax.dynamic_index_in_dim(
+            perms, epoch, axis=0, keepdims=False
         )
-        if len(yv):
-            val_loss_d, val_acc_d = eval_all(params)
-            val_loss, val_acc = float(val_loss_d), float(val_acc_d)
-        else:
-            val_loss, val_acc = float("nan"), float("nan")
-        history["loss"].append(float(ep_loss))
-        history["accuracy"].append(float(ep_acc))
-        history["val_loss"].append(val_loss)
-        history["val_accuracy"].append(val_acc)
-        logger.info(
-            "epoch %d: loss %.4f acc %.4f val_loss %.4f val_acc %.4f (%.2fs)",
-            epoch + 1, history["loss"][-1], history["accuracy"][-1],
-            val_loss, val_acc, time.perf_counter() - t0,
+        (params, opt_state, _), (losses, accs) = jax.lax.scan(
+            one_batch, (params, opt_state, ekey), batches
         )
-        metric = val_loss if len(yv) else float(ep_loss)
-        if metric < best_val:
-            best_val = metric
-            best_params = jax.tree.map(lambda a: np.asarray(a), params)
-            stale = 0
+        ep_loss, ep_acc = losses.mean(), accs.mean()
+        if has_val:
+            val_loss, val_acc = eval_all(params)
+            metric = val_loss
         else:
-            stale += 1
-            if stale >= config.patience:
-                logger.info("early stopping at epoch %d", epoch + 1)
-                break
+            val_loss = val_acc = jnp.float32(jnp.nan)
+            metric = ep_loss
+        improved = metric < best_val
+        best_params = jax.tree.map(
+            lambda b, p: jnp.where(improved, p, b), best_params, params
+        )
+        best_val = jnp.where(improved, metric, best_val)
+        stale = jnp.where(improved, 0, stale + 1)
+        hist = hist.at[epoch].set(
+            jnp.stack([ep_loss, ep_acc, val_loss, val_acc])
+        )
+        return params, opt_state, epoch + 1, best_params, best_val, stale, hist
 
-    metric_key = "val_loss" if len(yv) else "loss"
+    def keep_going(carry):
+        epoch, stale = carry[2], carry[5]
+        return (epoch < E) & (stale < patience)
+
+    @jax.jit
+    def run(params, opt_state):
+        hist0 = jnp.full((E, 4), jnp.nan, jnp.float32)
+        carry = (
+            params, opt_state, jnp.int32(0), params,
+            jnp.float32(jnp.inf), jnp.int32(0), hist0,
+        )
+        out = jax.lax.while_loop(keep_going, epoch_body, carry)
+        return out[3], out[2], out[6]
+
+    t0 = time.perf_counter()
+    best_params, epochs_run_d, hist_d = run(params, opt_state)
+    # One fetch for the whole run's metrics.
+    epochs_run, hist = jax.device_get((epochs_run_d, hist_d))
+    epochs_run = int(epochs_run)
+    wall = time.perf_counter() - t0
+
+    history: Dict[str, List[float]] = {
+        "loss": [float(v) for v in hist[:epochs_run, 0]],
+        "accuracy": [float(v) for v in hist[:epochs_run, 1]],
+        "val_loss": [float(v) for v in hist[:epochs_run, 2]],
+        "val_accuracy": [float(v) for v in hist[:epochs_run, 3]],
+    }
+    for epoch in range(epochs_run):
+        logger.info(
+            "epoch %d: loss %.4f acc %.4f val_loss %.4f val_acc %.4f",
+            epoch + 1, history["loss"][epoch], history["accuracy"][epoch],
+            history["val_loss"][epoch], history["val_accuracy"][epoch],
+        )
+    if epochs_run < E:
+        logger.info("early stopping at epoch %d", epochs_run)
+    logger.info(
+        "%d epochs in %.2fs (%.3fs/epoch, one fused dispatch)",
+        epochs_run, wall, wall / max(epochs_run, 1),
+    )
+
+    metric_key = "val_loss" if has_val else "loss"
     best_idx = int(np.argmin(history[metric_key]))
     logger.info(
         "Best loss: %.4f, Best acc: %.2f%%",
@@ -193,5 +227,4 @@ def train_cnn(
         "Best val loss: %.4f, Best val acc: %.2f%%",
         history["val_loss"][best_idx], history["val_accuracy"][best_idx] * 100,
     )
-    best_params = jax.tree.map(jnp.asarray, best_params)
     return best_params, history
