@@ -52,17 +52,36 @@ def main():
     sup_y = jnp.asarray(rng.integers(0, 3, size=(half,)), jnp.int32)
     real_v = jnp.asarray(rng.normal(size=(half,) + rescale + (3,)), jnp.float32)
 
-    def run_steps(state, k, key):
-        for i in range(k):
-            state, losses = step(
-                state, sup_v, sup_y, real_v, jax.random.fold_in(key, i)
+    # Steps chain inside one lax.scan dispatch, matching the trainer's
+    # fused-chunk schedule (train_sgan); per-step host dispatch would
+    # measure the ~30 ms tunnel gap, not the device.
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def chunk_fn(k):
+        @jax.jit
+        def run(state, key):
+            def body(carry, i):
+                state, key = carry
+                key, sk = jax.random.split(key)
+                state, losses = step(state, sup_v, sup_y, real_v, sk)
+                return (state, key), losses["c_loss"]
+
+            (state, key), cl = jax.lax.scan(
+                body, (state, key), jnp.arange(k)
             )
-        _ = jax.device_get(losses["c_loss"] if "c_loss" in losses else
-                           list(losses.values())[0])
+            return state, cl[-1]
+
+        return run
+
+    def run_steps(state, k, key):
+        state, cl = chunk_fn(k)(state, key)
+        _ = jax.device_get(cl)
         return state
 
     key = jax.random.PRNGKey(1)
-    state = run_steps(state, 2, key)  # compile + warm
+    state = run_steps(state, 4, key)  # compile + warm
+    state = run_steps(state, 24, key)
     times = {}
     for k in (4, 24):
         best = float("inf")

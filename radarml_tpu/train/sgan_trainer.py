@@ -472,32 +472,78 @@ def train_sgan(
 
     debug = logger.isEnabledFor(logging.DEBUG)
     t0 = time.perf_counter()
-    for i in range(start_step, n_steps):
-        six = jnp.asarray(rng.integers(0, len(y_sup), half), jnp.int32)
-        rix = jnp.asarray(rng.integers(0, X.shape[0], half), jnp.int32)
-        key, sk = jax.random.split(key)
-        state, losses = data_step(state, six, rix, sk)
-        if debug:  # device sync — only when actually logging
-            logger.debug(
-                "Training results at step %d: c[%.3f,%.0f], d_r[%.3f], "
-                "d_f[%.3f], g[%.3f]",
-                i + 1, float(losses["c_loss"]), float(losses["c_acc"]) * 100,
-                float(losses["d_real"]), float(losses["d_fake"]),
-                float(losses["gan"]),
+
+    # Fused-chunk schedule: every run of steps between summaries is ONE
+    # lax.scan dispatch (index matrices upload once per chunk; the PRNG
+    # key is carried/split inside, exactly mirroring the per-step
+    # stream). Per-step host dispatch through a high-latency link costs
+    # ~30 ms — ~10× the step's compute — so chunking sets the step rate
+    # by device time. Debug logging falls back to per-step dispatches
+    # (it syncs losses anyway).
+    @jax.jit
+    def run_chunk(state, key, six_all, rix_all):
+        def body(carry, xs):
+            state, key = carry
+            six, rix = xs
+            key, sk = jax.random.split(key)
+            state, losses = step_fn(
+                state,
+                jnp.take(X_sup_d, six, axis=0),
+                jnp.take(y_sup_d, six, axis=0),
+                jnp.take(X_d, rix, axis=0),
+                sk,
             )
-        if (i + 1) % every == 0:
+            return (state, key), losses
+
+        (state, key), losses = jax.lax.scan(
+            body, (state, key), (six_all, rix_all)
+        )
+        return state, key, losses
+
+    i = start_step
+    while i < n_steps:
+        boundary = min(((i // every) + 1) * every, n_steps)
+        chunk = boundary - i
+        # Per-step draw order (six then rix) preserved for stream
+        # parity with resume replay and prior runs.
+        six_np = np.empty((chunk, half), np.int32)
+        rix_np = np.empty((chunk, half), np.int32)
+        for s in range(chunk):
+            six_np[s] = rng.integers(0, len(y_sup), half)
+            rix_np[s] = rng.integers(0, X.shape[0], half)
+        if debug:
+            for s in range(chunk):
+                key, sk = jax.random.split(key)
+                state, losses = data_step(
+                    state, jnp.asarray(six_np[s]), jnp.asarray(rix_np[s]), sk
+                )
+                logger.debug(
+                    "Training results at step %d: c[%.3f,%.0f], d_r[%.3f], "
+                    "d_f[%.3f], g[%.3f]",
+                    i + s + 1,
+                    float(losses["c_loss"]), float(losses["c_acc"]) * 100,
+                    float(losses["d_real"]), float(losses["d_fake"]),
+                    float(losses["gan"]),
+                )
+        else:
+            state, key, _ = run_chunk(
+                state, key, jnp.asarray(six_np), jnp.asarray(rix_np)
+            )
+        i = boundary
+        if i % every == 0:
             # Eval/checkpoint/artifacts see precise-BN population
             # stats, not the slow momentum-0.99 EMA warmup (see
             # recalibrate_bn_stats / recalibrate_gen_stats).
-            state = recalibrate_bn_stats(disc, state, X_d, seed=i)
+            state = recalibrate_bn_stats(disc, state, X_d, seed=i - 1)
             state = recalibrate_gen_stats(
                 gen, state, jax.random.fold_in(key, 7), cfg.latent_dim
             )
             _summarize(
-                i, gen, disc, state, val_set, cfg, results_dir, key, on_summary
+                i - 1, gen, disc, state, val_set, cfg, results_dir, key,
+                on_summary,
             )
             if store is not None:
-                store.save(i + 1, state)
+                store.save(i, state)
     if n_steps % every:
         state = recalibrate_bn_stats(disc, state, X_d, seed=n_steps)
         state = recalibrate_gen_stats(
