@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve from an AOT artifact written by "
                         "--export_serving instead of building the "
                         "predictor from --svm_model")
+    p.add_argument("--grpc_port", type=int, default=-1,
+                   help="serve classifications over gRPC on this port "
+                        "(0 = auto-pick) instead of running the local "
+                        "sensor loop; clients ship raw scan cubes and "
+                        "get calibrated detections (rpc/radar_serving"
+                        ".proto)")
     add_driver_flags(p)
     add_common_flags(p)
     return p
@@ -115,6 +121,26 @@ def main(argv=None) -> dict:
             predictor, args.export_serving, platforms=platforms,
         )
         return {"exported": args.export_serving}
+
+    if args.grpc_port >= 0:
+        from radarml_tpu.rpc.radar_server import RadarServingServer
+
+        grid = getattr(predictor, "grid_shape", None) or DEFAULT_ARENA.grid_shape
+        server = RadarServingServer(
+            predictor, classes=list(le.classes_), grid_shape=grid,
+            port=args.grpc_port,
+        )
+        with server:
+            print(json.dumps({"grpc_port": server.port}), flush=True)
+            try:
+                if args.duration > 0:
+                    time.sleep(args.duration)
+                else:
+                    while True:
+                        time.sleep(1)
+            except KeyboardInterrupt:
+                pass
+        return {"grpc_port": server.port}
 
     def on_detection(d):
         if args.log_detections:

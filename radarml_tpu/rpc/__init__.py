@@ -20,3 +20,14 @@ __all__ = [
     "DEFAULT_CAMERA",
     "FakeDetectionServer",
 ]
+from radarml_tpu.rpc.radar_server import (  # noqa: E402
+    RadarServingClient,
+    RadarServingError,
+    RadarServingServer,
+)
+
+__all__ += [
+    "RadarServingClient",
+    "RadarServingError",
+    "RadarServingServer",
+]

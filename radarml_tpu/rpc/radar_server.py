@@ -1,0 +1,212 @@
+"""gRPC serving endpoint for the radar classifier.
+
+The reference's realtime predictor is a local loop that logs to a file
+(reference predict.py:72-131); it has no way to serve classifications
+to another machine even though the system already runs gRPC for the
+camera link. This endpoint puts the whole TPU predict pipeline behind
+the first-party `radar_serving.proto` contract: an edge client
+triggers the sensor, ships the raw cube (uint8 — 1 B/voxel — for a
+~120 KB request at the default arena), and gets calibrated detections
+back. Stub-free like rpc/client.py: handlers and client calls are
+built directly on grpc generic handlers / `unary_unary`.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from concurrent import futures
+from typing import List, Optional, Sequence, Tuple
+
+import grpc
+import numpy as np
+
+from radarml_tpu.rpc import radar_serving_pb2 as pb
+
+__all__ = [
+    "SERVICE_NAME",
+    "RadarServingServer",
+    "RadarServingClient",
+    "RadarServingError",
+]
+
+SERVICE_NAME = "radar_serving.RadarServing"
+
+logger = logging.getLogger(__name__)
+
+_DTYPES = {"uint8": np.uint8, "float32": np.float32}
+
+
+class RadarServingError(RuntimeError):
+    pass
+
+
+class RadarServingServer:
+    """Serve a RadarPredictor (or AOT ServingArtifact) over gRPC.
+
+    Requests pad to a static (1, max_targets) program shape, so every
+    call hits the same compiled executable.
+    """
+
+    def __init__(
+        self,
+        predictor,
+        classes: Sequence[str],
+        grid_shape: Tuple[int, int, int],
+        max_targets: int = 4,
+        port: int = 0,
+        max_workers: int = 4,
+    ):
+        from radarml_tpu.models.pipeline import UNKNOWN
+
+        self._predictor = predictor
+        self._classes = list(classes)
+        self._grid = tuple(int(g) for g in grid_shape)
+        self._max_targets = int(max_targets)
+        self._unknown = UNKNOWN
+        self._server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=max_workers)
+        )
+        self._server.add_generic_rpc_handlers((self._handlers(),))
+        self.port = self._server.add_insecure_port(f"127.0.0.1:{port}")
+
+    # -- RPC implementations ------------------------------------------
+
+    def _classify(self, request: pb.ScanRequest, context) -> pb.ClassifyResponse:
+        shape = tuple(request.shape) or self._grid
+        dt = _DTYPES.get(request.dtype or "uint8")
+        if dt is None:
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT,
+                f"unsupported dtype {request.dtype!r}",
+            )
+        cube = np.frombuffer(request.cube, dtype=dt)
+        if cube.size != int(np.prod(shape)):
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT,
+                f"cube bytes ({cube.size}) do not match shape {shape}",
+            )
+        cube = cube.reshape(shape).astype(np.float32)
+
+        n = min(len(request.targets), self._max_targets)
+        xyz = np.zeros((1, self._max_targets, 3), np.float32)
+        valid = np.zeros((1, self._max_targets), bool)
+        for t in range(n):
+            tgt = request.targets[t]
+            xyz[0, t] = (tgt.x, tgt.y, tgt.z)
+            valid[0, t] = True
+
+        t0 = time.perf_counter()
+        pred, best_p, proba = self._predictor(cube[None], xyz, valid)
+        pred = np.asarray(pred)[0]
+        best_p = np.asarray(best_p)[0]
+        proba = np.asarray(proba)[0]
+        latency_ms = (time.perf_counter() - t0) * 1e3
+
+        resp = pb.ClassifyResponse(model_latency_ms=latency_ms)
+        for t in range(n):
+            label = (
+                "" if pred[t] == self._unknown else self._classes[int(pred[t])]
+            )
+            resp.detections.append(
+                pb.RadarDetection(
+                    target_index=t,
+                    label=label,
+                    proba=float(best_p[t]),
+                    class_probas=[float(v) for v in proba[t]],
+                )
+            )
+        return resp
+
+    def _get_config(self, request, context) -> pb.ServingConfig:
+        p = self._predictor
+        return pb.ServingConfig(
+            grid_shape=list(self._grid),
+            classes=self._classes,
+            min_proba=float(getattr(p, "min_proba", 0.0)),
+            mode=str(getattr(p, "mode", "")),
+            cube_dtype=str(getattr(p, "cube_dtype", "float32")),
+        )
+
+    def _handlers(self):
+        rpcs = {
+            "Classify": grpc.unary_unary_rpc_method_handler(
+                self._classify,
+                request_deserializer=pb.ScanRequest.FromString,
+                response_serializer=pb.ClassifyResponse.SerializeToString,
+            ),
+            "GetServingConfig": grpc.unary_unary_rpc_method_handler(
+                self._get_config,
+                request_deserializer=pb.Empty.FromString,
+                response_serializer=pb.ServingConfig.SerializeToString,
+            ),
+        }
+        return grpc.method_handlers_generic_handler(SERVICE_NAME, rpcs)
+
+    # -- lifecycle ----------------------------------------------------
+
+    def start(self):
+        self._server.start()
+        logger.info("radar serving endpoint on 127.0.0.1:%d", self.port)
+        return self
+
+    def stop(self, grace: Optional[float] = 0.5):
+        self._server.stop(grace)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+class RadarServingClient:
+    """Thin client: numpy cube + (x, y, z) targets → detections."""
+
+    def __init__(self, address: str, timeout_s: float = 10.0):
+        self._channel = grpc.insecure_channel(address)
+        self._timeout = timeout_s
+        self._classify = self._channel.unary_unary(
+            f"/{SERVICE_NAME}/Classify",
+            request_serializer=pb.ScanRequest.SerializeToString,
+            response_deserializer=pb.ClassifyResponse.FromString,
+        )
+        self._config = self._channel.unary_unary(
+            f"/{SERVICE_NAME}/GetServingConfig",
+            request_serializer=pb.Empty.SerializeToString,
+            response_deserializer=pb.ServingConfig.FromString,
+        )
+
+    def classify(
+        self,
+        cube: np.ndarray,
+        targets: Sequence[Tuple[float, float, float]],
+        dtype: str = "uint8",
+    ) -> List[pb.RadarDetection]:
+        arr = np.ascontiguousarray(cube)
+        if dtype == "uint8":
+            arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+        else:
+            arr = arr.astype(np.float32)
+        req = pb.ScanRequest(
+            cube=arr.tobytes(),
+            dtype=dtype,
+            shape=list(arr.shape),
+            targets=[
+                pb.ScanRequest.Target(x=float(x), y=float(y), z=float(z))
+                for x, y, z in targets
+            ],
+        )
+        try:
+            return list(self._classify(req, timeout=self._timeout).detections)
+        except grpc.RpcError as e:
+            raise RadarServingError(str(e)) from e
+
+    def get_config(self) -> pb.ServingConfig:
+        try:
+            return self._config(pb.Empty(), timeout=self._timeout)
+        except grpc.RpcError as e:
+            raise RadarServingError(str(e)) from e
+
+    def close(self):
+        self._channel.close()

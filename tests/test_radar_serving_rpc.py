@@ -1,0 +1,121 @@
+"""gRPC radar-serving endpoint: wire round trip, parity, error paths."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radarml_tpu.core.arena import DEFAULT_ARENA
+from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+from radarml_tpu.models.pipeline import RadarPredictor, pad_targets
+from radarml_tpu.rpc import (
+    RadarServingClient,
+    RadarServingError,
+    RadarServingServer,
+)
+
+
+@pytest.fixture(scope="module")
+def served():
+    rng = np.random.default_rng(0)
+    C, F = 3, DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(C, F)) * 0.01, jnp.float32),
+        intercept=jnp.zeros((C,), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((C,), jnp.float32), b=jnp.zeros((C,), jnp.float32)
+    )
+    predictor = RadarPredictor(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib, mode="fast", min_proba=0.0,
+    )
+    server = RadarServingServer(
+        predictor, classes=["cat", "dog", "person"],
+        grid_shape=DEFAULT_ARENA.grid_shape,
+    ).start()
+    client = RadarServingClient(f"127.0.0.1:{server.port}")
+    yield predictor, server, client
+    client.close()
+    server.stop()
+
+
+def test_classify_round_trip_matches_local(served):
+    predictor, server, client = served
+    rng = np.random.default_rng(1)
+    cube = np.rint(
+        rng.random(DEFAULT_ARENA.grid_shape) * 255
+    ).astype(np.float32)
+    targets = [(5.0, 5.0, 100.0), (-10.0, 3.0, 150.0)]
+
+    dets = client.classify(cube, targets, dtype="uint8")
+    assert len(dets) == 2
+
+    xyz, valid = pad_targets([targets], max_targets=4)
+    pred, best_p, proba = predictor(cube[None], xyz, valid)
+    proba = np.asarray(proba)[0]
+    for t, det in enumerate(dets):
+        assert det.target_index == t
+        np.testing.assert_allclose(
+            np.asarray(det.class_probas), proba[t], atol=1e-6
+        )
+        assert det.label in ("cat", "dog", "person", "")
+
+
+def test_float32_transport_and_config(served):
+    predictor, server, client = served
+    rng = np.random.default_rng(2)
+    cube = rng.random(DEFAULT_ARENA.grid_shape).astype(np.float32) * 255
+    dets = client.classify(cube, [(0.0, 0.0, 90.0)], dtype="float32")
+    assert len(dets) == 1
+
+    cfg = client.get_config()
+    assert tuple(cfg.grid_shape) == DEFAULT_ARENA.grid_shape
+    assert list(cfg.classes) == ["cat", "dog", "person"]
+    assert cfg.mode == "fast"
+
+
+def test_bad_request_raises(served):
+    predictor, server, client = served
+    import radarml_tpu.rpc.radar_serving_pb2 as pb
+
+    with pytest.raises(Exception):
+        bad = pb.ScanRequest(cube=b"123", dtype="uint8", shape=[2, 2, 2, 7])
+        client._classify(bad, timeout=5)
+
+
+def test_serve_cli_grpc_mode(tmp_path):
+    """serve --grpc_port serves the endpoint for --duration and exits."""
+    import threading
+    import time as _time
+
+    from radarml_tpu.apps import serve as serve_app
+    from radarml_tpu.apps.common_cli import save_label_encoder, save_model
+    from radarml_tpu.data.labels import LabelEncoder
+
+    rng = np.random.default_rng(3)
+    C, F = 3, DEFAULT_ARENA.feature_length
+    model_path = str(tmp_path / "svm.pickle")
+    save_model(
+        model_path, "linear",
+        coef=rng.normal(size=(C, F)).astype(np.float32) * 0.01,
+        intercept=np.zeros((C,), np.float32),
+        calib_a=-np.ones((C,), np.float32),
+        calib_b=np.zeros((C,), np.float32),
+        classes=["cat", "dog", "person"],
+    )
+    le_path = str(tmp_path / "le.pickle")
+    save_label_encoder(le_path, LabelEncoder(classes_=["cat", "dog", "person"]))
+
+    out = {}
+
+    def run():
+        out["res"] = serve_app.main([
+            "--svm_model", model_path, "--label_encoder", le_path,
+            "--grpc_port", "0", "--duration", "4", "--min_proba", "0.0",
+        ])
+
+    th = threading.Thread(target=run)
+    th.start()
+    th.join(timeout=60)
+    assert not th.is_alive()
+    assert out["res"]["grpc_port"] > 0
