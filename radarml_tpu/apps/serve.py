@@ -128,6 +128,8 @@ def main(argv=None) -> dict:
         grid = getattr(predictor, "grid_shape", None) or DEFAULT_ARENA.grid_shape
         server = RadarServingServer(
             predictor, classes=list(le.classes_), grid_shape=grid,
+            # An AOT artifact bakes its target-slot axis; match it.
+            max_targets=int(getattr(predictor, "max_targets", 4)),
             port=args.grpc_port,
         )
         with server:

@@ -119,3 +119,36 @@ def test_serve_cli_grpc_mode(tmp_path):
     th.join(timeout=60)
     assert not th.is_alive()
     assert out["res"]["grpc_port"] > 0
+
+
+def test_grpc_serving_from_aot_artifact(tmp_path, served):
+    """AOT artifact + gRPC endpoint compose: same wire answers."""
+    from radarml_tpu.serving import export_predictor, load_serving_artifact
+
+    predictor, _server, _client = served
+    path = str(tmp_path / "serving.rmlx")
+    export_predictor(predictor, path, max_targets=3)
+    art = load_serving_artifact(path)
+
+    server = RadarServingServer(
+        art, classes=["cat", "dog", "person"],
+        grid_shape=art.grid_shape, max_targets=art.max_targets,
+    ).start()
+    client = RadarServingClient(f"127.0.0.1:{server.port}")
+    try:
+        rng = np.random.default_rng(7)
+        cube = np.rint(
+            rng.random(DEFAULT_ARENA.grid_shape) * 255
+        ).astype(np.float32)
+        targets = [(2.0, -1.0, 110.0)]
+        via_art = client.classify(cube, targets, dtype="uint8")
+        via_live = _client.classify(cube, targets, dtype="uint8")
+        assert len(via_art) == len(via_live) == 1
+        np.testing.assert_allclose(
+            np.asarray(via_art[0].class_probas),
+            np.asarray(via_live[0].class_probas),
+            atol=1e-6,
+        )
+    finally:
+        client.close()
+        server.stop()
