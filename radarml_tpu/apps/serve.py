@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "sensor loop; clients ship raw scan cubes and "
                         "get calibrated detections (rpc/radar_serving"
                         ".proto)")
+    p.add_argument("--grpc_publish", action="store_true",
+                   help="with --grpc_port: run the local sensor loop "
+                        "AND stream its detections to gRPC Subscribe "
+                        "consumers (Classify stays available)")
     add_driver_flags(p)
     add_common_flags(p)
     return p
@@ -122,18 +126,21 @@ def main(argv=None) -> dict:
         )
         return {"exported": args.export_serving}
 
+    rpc_server = None
     if args.grpc_port >= 0:
         from radarml_tpu.rpc.radar_server import RadarServingServer
 
         grid = getattr(predictor, "grid_shape", None) or DEFAULT_ARENA.grid_shape
-        server = RadarServingServer(
+        rpc_server = RadarServingServer(
             predictor, classes=list(le.classes_), grid_shape=grid,
             # An AOT artifact bakes its target-slot axis; match it.
             max_targets=int(getattr(predictor, "max_targets", 4)),
             port=args.grpc_port,
         )
-        with server:
-            print(json.dumps({"grpc_port": server.port}), flush=True)
+        rpc_server.start()
+        print(json.dumps({"grpc_port": rpc_server.port}), flush=True)
+        if not args.grpc_publish:
+            # Endpoint-only mode: no local sensor loop.
             try:
                 if args.duration > 0:
                     time.sleep(args.duration)
@@ -142,9 +149,18 @@ def main(argv=None) -> dict:
                         time.sleep(1)
             except KeyboardInterrupt:
                 pass
-        return {"grpc_port": server.port}
+            finally:
+                rpc_server.stop()
+            return {"grpc_port": rpc_server.port}
 
     def on_detection(d):
+        if rpc_server is not None:
+            name = "" if d.label_index == UNKNOWN else le.classes_[
+                d.label_index
+            ]
+            rpc_server.publish(
+                d.seq, d.target_index, name, d.proba, d.latency_ms
+            )
         if args.log_detections:
             name = "Unknown" if d.label_index == UNKNOWN else le.classes_[
                 d.label_index
@@ -225,6 +241,8 @@ def main(argv=None) -> dict:
     finally:
         svc.stop()
         cleanup()
+        if rpc_server is not None:
+            rpc_server.stop()
     stats = svc.stats()
     print(json.dumps({k: round(v, 2) if isinstance(v, float) else v
                       for k, v in stats.items()}))

@@ -14,9 +14,11 @@ built directly on grpc generic handlers / `unary_unary`.
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 import time
 from concurrent import futures
-from typing import List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import grpc
 import numpy as np
@@ -69,6 +71,8 @@ class RadarServingServer:
         )
         self._server.add_generic_rpc_handlers((self._handlers(),))
         self.port = self._server.add_insecure_port(f"127.0.0.1:{port}")
+        self._subs: set = set()
+        self._subs_lock = threading.Lock()
 
     # -- RPC implementations ------------------------------------------
 
@@ -128,6 +132,45 @@ class RadarServingServer:
             cube_dtype=str(getattr(p, "cube_dtype", "float32")),
         )
 
+    # -- live detection feed --------------------------------------------
+
+    def publish(
+        self,
+        seq: int,
+        target_index: int,
+        label: str,
+        proba: float,
+        latency_ms: float = 0.0,
+    ):
+        """Push one detection from the local sensor loop to every
+        subscriber. Slow consumers drop events (newest-wins, like the
+        serving batcher) instead of back-pressuring the loop."""
+        ev = pb.DetectionEvent(
+            seq=int(seq), target_index=int(target_index), label=label,
+            proba=float(proba), latency_ms=float(latency_ms),
+        )
+        with self._subs_lock:
+            subs = list(self._subs)
+        for q in subs:
+            try:
+                q.put_nowait(ev)
+            except queue.Full:
+                pass
+
+    def _subscribe(self, request, context) -> Iterator[pb.DetectionEvent]:
+        q: queue.Queue = queue.Queue(maxsize=256)
+        with self._subs_lock:
+            self._subs.add(q)
+        try:
+            while context.is_active():
+                try:
+                    yield q.get(timeout=0.5)
+                except queue.Empty:
+                    continue
+        finally:
+            with self._subs_lock:
+                self._subs.discard(q)
+
     def _handlers(self):
         rpcs = {
             "Classify": grpc.unary_unary_rpc_method_handler(
@@ -139,6 +182,11 @@ class RadarServingServer:
                 self._get_config,
                 request_deserializer=pb.Empty.FromString,
                 response_serializer=pb.ServingConfig.SerializeToString,
+            ),
+            "Subscribe": grpc.unary_stream_rpc_method_handler(
+                self._subscribe,
+                request_deserializer=pb.Empty.FromString,
+                response_serializer=pb.DetectionEvent.SerializeToString,
             ),
         }
         return grpc.method_handlers_generic_handler(SERVICE_NAME, rpcs)
@@ -207,6 +255,27 @@ class RadarServingClient:
             return self._config(pb.Empty(), timeout=self._timeout)
         except grpc.RpcError as e:
             raise RadarServingError(str(e)) from e
+
+    def subscribe(self, timeout_s: Optional[float] = None):
+        """Iterate live DetectionEvents from the server's sensor loop.
+
+        Blocks on the stream; cancel by breaking out (the context
+        manager form closes the call) or via the timeout.
+        """
+        sub = self._channel.unary_stream(
+            f"/{SERVICE_NAME}/Subscribe",
+            request_serializer=pb.Empty.SerializeToString,
+            response_deserializer=pb.DetectionEvent.FromString,
+        )
+        try:
+            yield from sub(pb.Empty(), timeout=timeout_s or self._timeout)
+        except grpc.RpcError as e:
+            code = e.code() if hasattr(e, "code") else None
+            if code not in (
+                grpc.StatusCode.DEADLINE_EXCEEDED,
+                grpc.StatusCode.CANCELLED,
+            ):
+                raise RadarServingError(str(e)) from e
 
     def close(self):
         self._channel.close()

@@ -152,3 +152,93 @@ def test_grpc_serving_from_aot_artifact(tmp_path, served):
     finally:
         client.close()
         server.stop()
+
+
+def test_subscribe_receives_published_detections(served):
+    import threading
+    import time as _time
+
+    predictor, server, client = served
+    got = []
+
+    def consume():
+        for ev in client.subscribe(timeout_s=8):
+            got.append((ev.seq, ev.label, round(ev.proba, 3)))
+            if len(got) >= 3:
+                break
+
+    th = threading.Thread(target=consume)
+    th.start()
+    _time.sleep(0.5)  # let the stream register
+    for i in range(3):
+        server.publish(i, 0, "dog", 0.9 + 0.01 * i, latency_ms=1.0)
+        _time.sleep(0.05)
+    th.join(timeout=10)
+    assert not th.is_alive()
+    assert [g[0] for g in got] == [0, 1, 2]
+    assert all(g[1] == "dog" for g in got)
+
+
+def test_serve_cli_grpc_publish_mode(tmp_path):
+    """--grpc_port + --grpc_publish runs the sensor loop AND streams
+    its detections to a subscriber."""
+    import json
+    import re
+    import subprocess
+    import sys
+    import threading
+    import time as _time
+
+    from radarml_tpu.apps import serve as serve_app
+    from radarml_tpu.apps.common_cli import save_label_encoder, save_model
+    from radarml_tpu.data.labels import LabelEncoder
+
+    rng = np.random.default_rng(5)
+    C, F = 3, DEFAULT_ARENA.feature_length
+    model_path = str(tmp_path / "svm.pickle")
+    save_model(
+        model_path, "linear",
+        coef=rng.normal(size=(C, F)).astype(np.float32) * 0.01,
+        intercept=np.zeros((C,), np.float32),
+        calib_a=-np.ones((C,), np.float32),
+        calib_b=np.zeros((C,), np.float32),
+        classes=["cat", "dog", "person"],
+    )
+    le_path = str(tmp_path / "le.pickle")
+    save_label_encoder(le_path, LabelEncoder(classes_=["cat", "dog", "person"]))
+
+    out = {}
+
+    def run():
+        out["res"] = serve_app.main([
+            "--svm_model", model_path, "--label_encoder", le_path,
+            "--grpc_port", "50917", "--grpc_publish",
+            "--duration", "6", "--scan_period", "0.05",
+            "--max_batch", "4", "--min_proba", "0.0",
+        ])
+
+    th = threading.Thread(target=run)
+    th.start()
+    events = []
+
+    def consume():
+        # Connect once the fixed port is up; tolerate early refusal.
+        client = RadarServingClient("127.0.0.1:50917", timeout_s=20)
+        deadline = _time.time() + 20
+        while _time.time() < deadline and not events:
+            try:
+                for ev in client.subscribe(timeout_s=6):
+                    events.append(ev)
+                    if len(events) >= 2:
+                        return
+            except Exception:
+                _time.sleep(0.5)
+        client.close()
+
+    sub = threading.Thread(target=consume)
+    sub.start()
+    th.join(timeout=90)
+    sub.join(timeout=30)
+    assert not th.is_alive()
+    assert out["res"]["processed"] > 0
+    assert len(events) >= 1  # the local loop's detections reached the wire
