@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --grpc_port: run the local sensor loop "
                         "AND stream its detections to gRPC Subscribe "
                         "consumers (Classify stays available)")
+    p.add_argument("--reload_poll", type=float, default=0.0,
+                   help="hot-reload: poll the model artifact every N "
+                        "seconds and swap the predictor in-place when "
+                        "it changes (0 = off); pairs with "
+                        "train --online_learn rewriting the artifact")
     add_driver_flags(p)
     add_common_flags(p)
     return p
@@ -92,29 +97,70 @@ def main(argv=None) -> dict:
             "--svm_model, not --serving_artifact"
         )
     le = load_label_encoder(args.label_encoder)
-    if args.serving_artifact:
-        from radarml_tpu.serving import load_serving_artifact
 
-        predictor = load_serving_artifact(args.serving_artifact)
-        logger.info(
-            "serving from AOT artifact %s (mode=%s, platforms=%s)",
-            args.serving_artifact, predictor.mode, predictor.platforms,
-        )
-        if abs(predictor.min_proba - args.min_proba) > 1e-9:
-            logger.warning(
-                "--min_proba %.2f ignored: the artifact bakes in %.2f "
-                "(thresholds are constants in the exported program; "
-                "re-export to change)",
-                args.min_proba, predictor.min_proba,
+    def build_predictor():
+        if args.serving_artifact:
+            from radarml_tpu.serving import load_serving_artifact
+
+            p = load_serving_artifact(args.serving_artifact)
+            logger.info(
+                "serving from AOT artifact %s (mode=%s, platforms=%s)",
+                args.serving_artifact, p.mode, p.platforms,
             )
-    else:
+            if abs(p.min_proba - args.min_proba) > 1e-9:
+                logger.warning(
+                    "--min_proba %.2f ignored: the artifact bakes in %.2f "
+                    "(thresholds are constants in the exported program; "
+                    "re-export to change)",
+                    args.min_proba, p.min_proba,
+                )
+            return p
         model, calib = load_model(args.svm_model)
-        predictor = RadarPredictor(
+        return RadarPredictor(
             train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
             model=model, calibration=calib,
             min_proba=args.min_proba, mode=args.mode,
             cube_dtype=args.cube_dtype,
         )
+
+    predictor = build_predictor()
+
+    swap_targets = []  # objects whose .predictor / set_predictor to update
+
+    def start_reloader():
+        if args.reload_poll <= 0:
+            return None
+        from radarml_tpu.serving.reload import ModelReloader
+
+        watch = args.serving_artifact or args.svm_model
+
+        def build_and_warm():
+            import numpy as np
+
+            p = build_predictor()
+            # Compile off the serving path so the swap is seamless.
+            warm = np.zeros((1,) + tuple(DEFAULT_ARENA.grid_shape), np.float32)
+            xyz1 = np.zeros((1, 4, 3), np.float32)
+            valid1 = np.zeros((1, 4), bool)
+            import jax
+
+            jax.block_until_ready(p(warm, xyz1, valid1))
+            return p
+
+        def swap(p):
+            for tgt in swap_targets:
+                if hasattr(tgt, "set_predictor"):
+                    tgt.set_predictor(p)
+                else:
+                    tgt.predictor = p
+
+        reloader = ModelReloader(
+            watch, build_and_warm, swap, poll_s=args.reload_poll
+        )
+        reloader.start()
+        logger.info("hot-reload watching %s every %.1fs", watch,
+                    args.reload_poll)
+        return reloader
     if args.export_serving:
         from radarml_tpu.serving import export_predictor
 
@@ -138,9 +184,11 @@ def main(argv=None) -> dict:
             port=args.grpc_port,
         )
         rpc_server.start()
+        swap_targets.append(rpc_server)
         print(json.dumps({"grpc_port": rpc_server.port}), flush=True)
         if not args.grpc_publish:
             # Endpoint-only mode: no local sensor loop.
+            reloader = start_reloader()
             try:
                 if args.duration > 0:
                     time.sleep(args.duration)
@@ -150,6 +198,8 @@ def main(argv=None) -> dict:
             except KeyboardInterrupt:
                 pass
             finally:
+                if reloader:
+                    reloader.stop()
                 rpc_server.stop()
             return {"grpc_port": rpc_server.port}
 
@@ -199,6 +249,8 @@ def main(argv=None) -> dict:
         ),
         on_detection=on_detection,
     )
+    swap_targets.append(svc)
+    reloader = start_reloader()
 
     if args.driver == "native":
         from radarml_tpu.drivers import NativeScanSource
@@ -239,11 +291,15 @@ def main(argv=None) -> dict:
     except KeyboardInterrupt:
         pass
     finally:
+        if reloader:
+            reloader.stop()
         svc.stop()
         cleanup()
         if rpc_server is not None:
             rpc_server.stop()
     stats = svc.stats()
+    if reloader:
+        stats["model_reloads"] = reloader.reloads
     print(json.dumps({k: round(v, 2) if isinstance(v, float) else v
                       for k, v in stats.items()}))
     return stats

@@ -132,6 +132,10 @@ class RadarServingServer:
             cube_dtype=str(getattr(p, "cube_dtype", "float32")),
         )
 
+    def set_predictor(self, predictor):
+        """Atomically swap the serving model (hot reload)."""
+        self._predictor = predictor
+
     # -- live detection feed --------------------------------------------
 
     def publish(

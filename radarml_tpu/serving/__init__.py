@@ -3,6 +3,7 @@ from radarml_tpu.serving.export import (
     export_predictor,
     load_serving_artifact,
 )
+from radarml_tpu.serving.reload import ModelReloader
 from radarml_tpu.serving.stream import (
     Detection,
     Scan,
@@ -21,5 +22,6 @@ __all__ = [
     "driver_scan_source",
     "export_predictor",
     "load_serving_artifact",
+    "ModelReloader",
     "native_scan_source",
 ]
