@@ -301,3 +301,107 @@ def test_fast_uint8_ingest_matches_f32(rng):
         np.asarray(proba_u), np.asarray(proba_f), atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(pu), np.asarray(pf))
+
+
+def test_cross_arena_zoom_exact_fast_parity_and_oracle():
+    """A scan arena coarser than the training arena flows through the
+    predictor with per-plane zoom (reference calc_proj_zoom,
+    predict.py:34-54): exact and fast modes agree with each other and
+    with the host-side process_samples oracle."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radarml_tpu.core.arena import Arena, DEFAULT_ARENA
+    from radarml_tpu.models.linear import (
+        LinearModel,
+        SigmoidCalibration,
+        predict_proba_calibrated,
+    )
+    from radarml_tpu.models.pipeline import RadarPredictor, pad_targets
+    from radarml_tpu.ops.features import predict_zoom, process_samples
+
+    rng = np.random.default_rng(11)
+    train = DEFAULT_ARENA
+    scan = Arena(r_res=5.0, theta_res=6.0, phi_res=3.0)  # 15x21x70 cube
+    assert scan.grid_shape != train.grid_shape
+
+    C = 3
+    model = LinearModel(
+        coef=jnp.asarray(
+            rng.normal(size=(C, train.feature_length)) * 0.01, jnp.float32
+        ),
+        intercept=jnp.zeros((C,), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((C,), jnp.float32), b=jnp.zeros((C,), jnp.float32)
+    )
+    kw = dict(train_arena=train, scan_arena=scan, model=model,
+              calibration=calib, min_proba=0.0)
+    exact = RadarPredictor(mode="exact", **kw)
+    fast = RadarPredictor(mode="fast", **kw)
+
+    cubes = np.rint(
+        rng.random((3,) + scan.grid_shape) * 255
+    ).astype(np.float32)
+    pts = [(4.3, 3.7, 95.2), (-8.1, 2.2, 140.6), (0.6, -5.9, 210.3)]
+    xyz, valid = pad_targets([[p] for p in pts], max_targets=1)
+
+    _, _, proba_e = exact(cubes, xyz, valid)
+    _, _, proba_f = fast(cubes, xyz, valid)
+    np.testing.assert_allclose(
+        np.asarray(proba_e), np.asarray(proba_f), atol=2e-5
+    )
+
+    # Host oracle: slice at clamped indices, zoom into the training
+    # arena via predict_zoom factors, score, calibrate.
+    zoom = predict_zoom(train, scan)
+    for b, (x, y, z) in enumerate(pts):
+        i, j, k = (
+            int(np.asarray(v))
+            for v in scan.clamped_matrix_indices(
+                jnp.float32(x), jnp.float32(y), jnp.float32(z)
+            )
+        )
+        sample = (cubes[b][:, j, :], cubes[b][i, :, :], cubes[b][:, :, k])
+        feats = process_samples([sample], proj_zoom=zoom, scale=True)
+        assert feats.shape[1] == train.feature_length
+        want = np.asarray(
+            predict_proba_calibrated(model, calib, jnp.asarray(feats))
+        )[0]
+        np.testing.assert_allclose(
+            np.asarray(proba_e)[b, 0], want, atol=2e-5
+        )
+
+
+def test_higher_resolution_arena_scales_through_fast_mode():
+    """The scaling axis of this problem is arena resolution (SURVEY §5):
+    a 2x-finer range axis flows through the folded fast path with no
+    code changes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radarml_tpu.core.arena import Arena
+    from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+    from radarml_tpu.models.pipeline import RadarPredictor, pad_targets
+
+    rng = np.random.default_rng(12)
+    hi = Arena(r_res=1.0)  # 22x31x350 cube, feature length 22*350+31*350+22*31
+    C = 3
+    model = LinearModel(
+        coef=jnp.asarray(
+            rng.normal(size=(C, hi.feature_length)) * 0.01, jnp.float32
+        ),
+        intercept=jnp.zeros((C,), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((C,), jnp.float32), b=jnp.zeros((C,), jnp.float32)
+    )
+    predictor = RadarPredictor(
+        train_arena=hi, scan_arena=hi, model=model, calibration=calib,
+        min_proba=0.0, mode="fast", cube_dtype="uint8",
+    )
+    cubes = np.rint(rng.random((2,) + hi.grid_shape) * 255).astype(np.float32)
+    xyz, valid = pad_targets([[(1.0, 1.0, 100.0)], [(0.0, 2.0, 250.0)]], 2)
+    pred, best_p, proba = predictor(cubes, xyz, valid)
+    assert proba.shape == (2, 2, C)
+    assert np.all(np.isfinite(np.asarray(proba)))
