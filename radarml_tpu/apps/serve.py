@@ -153,6 +153,8 @@ def main(argv=None) -> dict:
                     tgt.set_predictor(p)
                 else:
                     tgt.predictor = p
+            if rpc_server is not None:
+                rpc_server.model_reloads += 1
 
         reloader = ModelReloader(
             watch, build_and_warm, swap, poll_s=args.reload_poll
@@ -250,6 +252,8 @@ def main(argv=None) -> dict:
         on_detection=on_detection,
     )
     swap_targets.append(svc)
+    if rpc_server is not None:
+        rpc_server._loop_stats_fn = svc.stats
     reloader = start_reloader()
 
     if args.driver == "native":

@@ -58,7 +58,11 @@ class RadarServingServer:
         max_targets: int = 4,
         port: int = 0,
         max_workers: int = 4,
+        loop_stats_fn=None,
     ):
+        """`loop_stats_fn`: optional zero-arg callable returning the
+        local sensor loop's stats dict (StreamingClassifier.stats()),
+        surfaced through GetStats when serving alongside the loop."""
         from radarml_tpu.models.pipeline import UNKNOWN
 
         self._predictor = predictor
@@ -73,6 +77,11 @@ class RadarServingServer:
         self.port = self._server.add_insecure_port(f"127.0.0.1:{port}")
         self._subs: set = set()
         self._subs_lock = threading.Lock()
+        self._loop_stats_fn = loop_stats_fn
+        self._classify_count = 0
+        self._events_published = 0
+        self._started_at = time.monotonic()
+        self.model_reloads = 0  # maintained by the CLI's reloader hook
 
     # -- RPC implementations ------------------------------------------
 
@@ -100,6 +109,7 @@ class RadarServingServer:
             xyz[0, t] = (tgt.x, tgt.y, tgt.z)
             valid[0, t] = True
 
+        self._classify_count += 1
         t0 = time.perf_counter()
         pred, best_p, proba = self._predictor(cube[None], xyz, valid)
         pred = np.asarray(pred)[0]
@@ -155,6 +165,7 @@ class RadarServingServer:
         )
         with self._subs_lock:
             subs = list(self._subs)
+        self._events_published += 1
         for q in subs:
             try:
                 q.put_nowait(ev)
@@ -192,8 +203,38 @@ class RadarServingServer:
                 request_deserializer=pb.Empty.FromString,
                 response_serializer=pb.DetectionEvent.SerializeToString,
             ),
+            "GetStats": grpc.unary_unary_rpc_method_handler(
+                self._get_stats,
+                request_deserializer=pb.Empty.FromString,
+                response_serializer=pb.ServingStats.SerializeToString,
+            ),
         }
         return grpc.method_handlers_generic_handler(SERVICE_NAME, rpcs)
+
+    def _get_stats(self, request, context) -> pb.ServingStats:
+        with self._subs_lock:
+            n_subs = len(self._subs)
+        stats = pb.ServingStats(
+            classify_requests=self._classify_count,
+            subscribers=n_subs,
+            uptime_s=time.monotonic() - self._started_at,
+            events_published=self._events_published,
+            model_reloads=self.model_reloads,
+        )
+        if self._loop_stats_fn is not None:
+            try:
+                loop = self._loop_stats_fn()
+                stats.loop_processed = int(loop.get("processed", 0))
+                stats.loop_dropped = int(loop.get("dropped", 0))
+                stats.loop_latency_p50_ms = float(
+                    loop.get("latency_p50_ms", 0.0)
+                )
+                stats.loop_latency_p95_ms = float(
+                    loop.get("latency_p95_ms", 0.0)
+                )
+            except Exception:
+                logger.debug("loop stats unavailable", exc_info=True)
+        return stats
 
     # -- lifecycle ----------------------------------------------------
 
@@ -257,6 +298,17 @@ class RadarServingClient:
     def get_config(self) -> pb.ServingConfig:
         try:
             return self._config(pb.Empty(), timeout=self._timeout)
+        except grpc.RpcError as e:
+            raise RadarServingError(str(e)) from e
+
+    def get_stats(self) -> pb.ServingStats:
+        stats = self._channel.unary_unary(
+            f"/{SERVICE_NAME}/GetStats",
+            request_serializer=pb.Empty.SerializeToString,
+            response_deserializer=pb.ServingStats.FromString,
+        )
+        try:
+            return stats(pb.Empty(), timeout=self._timeout)
         except grpc.RpcError as e:
             raise RadarServingError(str(e)) from e
 

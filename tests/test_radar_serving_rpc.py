@@ -242,3 +242,18 @@ def test_serve_cli_grpc_publish_mode(tmp_path):
     assert not th.is_alive()
     assert out["res"]["processed"] > 0
     assert len(events) >= 1  # the local loop's detections reached the wire
+
+
+def test_get_stats_counts_requests_and_events(served):
+    predictor, server, client = served
+    before = client.get_stats()
+    rng = np.random.default_rng(8)
+    cube = np.rint(
+        rng.random(DEFAULT_ARENA.grid_shape) * 255
+    ).astype(np.float32)
+    client.classify(cube, [(0.0, 0.0, 100.0)], dtype="uint8")
+    server.publish(99, 0, "cat", 0.8)
+    after = client.get_stats()
+    assert after.classify_requests == before.classify_requests + 1
+    assert after.events_published == before.events_published + 1
+    assert after.uptime_s > 0
