@@ -115,8 +115,9 @@ def main():
 
     # The whole training run is ONE while_loop dispatch, so the
     # per-epoch marginal is tiny; spread the slope over 100 epochs to
-    # resolve it above dispatch jitter.
-    cnn_wall(2)  # compile + warm (cache covers other epoch counts)
+    # resolve it above dispatch jitter. The fused program's shapes
+    # depend on the epoch count, so each timed E needs its own
+    # compile+warm pass (there is no shared cache entry across Es).
     cnn_wall(10)
     cnn_wall(110)
     t_lo = min(cnn_wall(10) for _ in range(2))

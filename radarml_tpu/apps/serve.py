@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "sensor loop; clients ship raw scan cubes and "
                         "get calibrated detections (rpc/radar_serving"
                         ".proto)")
+    p.add_argument("--grpc_host", type=str, default="127.0.0.1",
+                   help="gRPC bind address; 0.0.0.0 accepts remote "
+                        "edge clients")
     p.add_argument("--grpc_publish", action="store_true",
                    help="with --grpc_port: run the local sensor loop "
                         "AND stream its detections to gRPC Subscribe "
@@ -135,16 +138,25 @@ def main(argv=None) -> dict:
         watch = args.serving_artifact or args.svm_model
 
         def build_and_warm():
+            import jax
             import numpy as np
 
             p = build_predictor()
-            # Compile off the serving path so the swap is seamless.
-            warm = np.zeros((1,) + tuple(DEFAULT_ARENA.grid_shape), np.float32)
-            xyz1 = np.zeros((1, 4, 3), np.float32)
-            valid1 = np.zeros((1, 4), bool)
-            import jax
-
-            jax.block_until_ready(p(warm, xyz1, valid1))
+            # Compile every served shape off the serving path so the
+            # swap is seamless: the streaming loop pads batches to
+            # max_batch, and the gRPC Classify path runs (1, T). Use
+            # the new predictor's own grid/target geometry (an AOT
+            # artifact bakes both).
+            grid = tuple(
+                getattr(p, "grid_shape", None) or DEFAULT_ARENA.grid_shape
+            )
+            T = int(getattr(p, "max_targets", 4))
+            loop_active = args.grpc_port < 0 or args.grpc_publish
+            for b in sorted({args.max_batch, 1} if loop_active else {1}):
+                warm = np.zeros((b,) + grid, np.float32)
+                xyz_w = np.zeros((b, T, 3), np.float32)
+                valid_w = np.zeros((b, T), bool)
+                jax.block_until_ready(p(warm, xyz_w, valid_w))
             return p
 
         def swap(p):
@@ -154,7 +166,7 @@ def main(argv=None) -> dict:
                 else:
                     tgt.predictor = p
             if rpc_server is not None:
-                rpc_server.model_reloads += 1
+                rpc_server.note_model_reload()
 
         reloader = ModelReloader(
             watch, build_and_warm, swap, poll_s=args.reload_poll
@@ -184,6 +196,22 @@ def main(argv=None) -> dict:
             # An AOT artifact bakes its target-slot axis; match it.
             max_targets=int(getattr(predictor, "max_targets", 4)),
             port=args.grpc_port,
+            host=args.grpc_host,
+        )
+        # Compile the (1, T) Classify program before accepting traffic
+        # so the first client RPC doesn't absorb a 30-90 s compile and
+        # blow its deadline.
+        import jax
+        import numpy as np
+
+        T_rpc = int(getattr(predictor, "max_targets", 4))
+        logger.info("warming gRPC classify program...")
+        jax.block_until_ready(
+            predictor(
+                np.zeros((1,) + tuple(grid), np.float32),
+                np.zeros((1, T_rpc, 3), np.float32),
+                np.zeros((1, T_rpc), bool),
+            )
         )
         rpc_server.start()
         swap_targets.append(rpc_server)
@@ -253,7 +281,7 @@ def main(argv=None) -> dict:
     )
     swap_targets.append(svc)
     if rpc_server is not None:
-        rpc_server._loop_stats_fn = svc.stats
+        rpc_server.set_loop_stats_fn(svc.stats)
     reloader = start_reloader()
 
     if args.driver == "native":

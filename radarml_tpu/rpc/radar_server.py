@@ -59,10 +59,13 @@ class RadarServingServer:
         port: int = 0,
         max_workers: int = 4,
         loop_stats_fn=None,
+        host: str = "127.0.0.1",
     ):
         """`loop_stats_fn`: optional zero-arg callable returning the
         local sensor loop's stats dict (StreamingClassifier.stats()),
-        surfaced through GetStats when serving alongside the loop."""
+        surfaced through GetStats when serving alongside the loop.
+        `host`: bind address — use "0.0.0.0" to accept remote edge
+        clients (the offload topology the proto documents)."""
         from radarml_tpu.models.pipeline import UNKNOWN
 
         self._predictor = predictor
@@ -74,14 +77,15 @@ class RadarServingServer:
             futures.ThreadPoolExecutor(max_workers=max_workers)
         )
         self._server.add_generic_rpc_handlers((self._handlers(),))
-        self.port = self._server.add_insecure_port(f"127.0.0.1:{port}")
+        self.port = self._server.add_insecure_port(f"{host}:{port}")
         self._subs: set = set()
         self._subs_lock = threading.Lock()
         self._loop_stats_fn = loop_stats_fn
+        self._stats_lock = threading.Lock()
         self._classify_count = 0
         self._events_published = 0
         self._started_at = time.monotonic()
-        self.model_reloads = 0  # maintained by the CLI's reloader hook
+        self.model_reloads = 0  # maintained via note_model_reload()
 
     # -- RPC implementations ------------------------------------------
 
@@ -92,6 +96,15 @@ class RadarServingServer:
             context.abort(
                 grpc.StatusCode.INVALID_ARGUMENT,
                 f"unsupported dtype {request.dtype!r}",
+            )
+        if tuple(int(s) for s in shape) != self._grid:
+            # Enforce the server's program shape: arbitrary shapes
+            # would trigger a fresh compile per novel shape (a stall
+            # behind a slow link) or fail deep inside the pipeline.
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT,
+                f"cube shape {tuple(shape)} does not match the serving "
+                f"arena grid {self._grid} (see GetServingConfig)",
             )
         cube = np.frombuffer(request.cube, dtype=dt)
         if cube.size != int(np.prod(shape)):
@@ -109,7 +122,8 @@ class RadarServingServer:
             xyz[0, t] = (tgt.x, tgt.y, tgt.z)
             valid[0, t] = True
 
-        self._classify_count += 1
+        with self._stats_lock:
+            self._classify_count += 1
         t0 = time.perf_counter()
         pred, best_p, proba = self._predictor(cube[None], xyz, valid)
         pred = np.asarray(pred)[0]
@@ -146,6 +160,15 @@ class RadarServingServer:
         """Atomically swap the serving model (hot reload)."""
         self._predictor = predictor
 
+    def note_model_reload(self):
+        with self._stats_lock:
+            self.model_reloads += 1
+
+    def set_loop_stats_fn(self, fn):
+        """Attach the local sensor loop's stats supplier after the loop
+        exists (the server typically starts first)."""
+        self._loop_stats_fn = fn
+
     # -- live detection feed --------------------------------------------
 
     def publish(
@@ -165,7 +188,8 @@ class RadarServingServer:
         )
         with self._subs_lock:
             subs = list(self._subs)
-        self._events_published += 1
+        with self._stats_lock:
+            self._events_published += 1
         for q in subs:
             try:
                 q.put_nowait(ev)
@@ -214,12 +238,16 @@ class RadarServingServer:
     def _get_stats(self, request, context) -> pb.ServingStats:
         with self._subs_lock:
             n_subs = len(self._subs)
+        with self._stats_lock:
+            classify_count = self._classify_count
+            events = self._events_published
+            reloads = self.model_reloads
         stats = pb.ServingStats(
-            classify_requests=self._classify_count,
+            classify_requests=classify_count,
             subscribers=n_subs,
             uptime_s=time.monotonic() - self._started_at,
-            events_published=self._events_published,
-            model_reloads=self.model_reloads,
+            events_published=events,
+            model_reloads=reloads,
         )
         if self._loop_stats_fn is not None:
             try:

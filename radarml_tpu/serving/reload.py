@@ -71,10 +71,15 @@ class ModelReloader(threading.Thread):
                 settle = nxt
             if self._halt.is_set():
                 return
-            self._mtime = settle
             try:
                 new = self._build()
                 self._on_swap(new)
+                # Commit the watched mtime only on success: a build
+                # that raced a non-atomic writer (or hit a transient
+                # failure) retries on the next poll instead of leaving
+                # the completed artifact unserved forever.
+                self._mtime = settle
+                self._failed_mtime = None
                 self.reloads += 1
                 logger.info(
                     "hot-reloaded model from %s (reload #%d)",
@@ -82,10 +87,18 @@ class ModelReloader(threading.Thread):
                 )
             except Exception:
                 self.failures += 1
-                logger.exception(
-                    "model reload from %s failed; keeping previous model",
-                    self._path,
-                )
+                if getattr(self, "_failed_mtime", None) != settle:
+                    self._failed_mtime = settle
+                    logger.exception(
+                        "model reload from %s failed; keeping previous "
+                        "model (will retry while the file is unchanged)",
+                        self._path,
+                    )
+                else:
+                    logger.debug(
+                        "model reload retry from %s failed again",
+                        self._path,
+                    )
 
     def stop(self):
         self._halt.set()

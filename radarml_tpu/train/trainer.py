@@ -135,7 +135,11 @@ def train_cnn(
     key = jax.random.PRNGKey(config.seed)
     has_val = len(yv) > 0
     E = config.epochs
-    patience = config.patience
+    # patience<=0 meant "stop at the first non-improving epoch" in the
+    # host-loop implementation (the check ran after each epoch); clamp
+    # so the fused while_loop keeps that meaning instead of running
+    # zero epochs.
+    patience = max(int(config.patience), 1)
 
     # The ENTIRE training run — every epoch's batch scan, validation
     # pass, Keras-style best-checkpoint tracking, and early stopping —

@@ -119,3 +119,19 @@ def test_train_cnn_dataset_smaller_than_batch():
     _, history = train_cnn(model, params, X, y, X, y, config=cfg)
     assert len(history["loss"]) == 2
     assert np.isfinite(history["loss"]).all()
+
+
+def test_patience_zero_trains_and_stops_at_first_plateau():
+    """patience<=0 must behave like the host-loop era: train, stopping
+    at the first non-improving epoch — not run zero epochs."""
+    rng = np.random.default_rng(6)
+    X = rng.normal(size=(24, 8, 8, 3)).astype(np.float32)
+    y = rng.integers(0, 3, size=(24,)).astype(np.int32)
+    model = MultiViewCNN(n_classes=3)
+    params = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 8, 3), np.float32),
+        train=False,
+    )["params"]
+    cfg = TrainConfig(batch_size=8, epochs=50, patience=0)
+    best, history = train_cnn(model, params, X, y, X, y, config=cfg)
+    assert 1 <= len(history["loss"]) <= 50
