@@ -405,3 +405,43 @@ def test_higher_resolution_arena_scales_through_fast_mode():
     pred, best_p, proba = predictor(cubes, xyz, valid)
     assert proba.shape == (2, 2, C)
     assert np.all(np.isfinite(np.asarray(proba)))
+
+
+def test_fast_mode_with_masked_projection_matches_exact(rng):
+    """The folded templates honor a partial ProjMask (reference
+    --proj_mask, train.py:584-588): masked fast == masked exact."""
+    import jax.numpy as jnp
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA, ProjMask
+    from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+    from radarml_tpu.models.pipeline import RadarPredictor, pad_targets
+    from radarml_tpu.ops.features import FeatureSpec
+
+    mask = ProjMask(xz=True, yz=False, xy=True)
+    F = FeatureSpec.for_arena(DEFAULT_ARENA, proj_mask=mask).feature_length
+    n_classes = 3
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(n_classes, F)) * 0.01, jnp.float32),
+        intercept=jnp.asarray(rng.normal(size=(n_classes,)), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((n_classes,), jnp.float32),
+        b=jnp.zeros((n_classes,), jnp.float32),
+    )
+    kw = dict(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib, proj_mask=mask, min_proba=0.0,
+    )
+    exact = RadarPredictor(mode="exact", **kw)
+    fast = RadarPredictor(mode="fast", **kw)
+
+    cubes = np.rint(
+        rng.random((3,) + DEFAULT_ARENA.grid_shape) * 255
+    ).astype(np.float32)
+    xyz, valid = pad_targets(
+        [[(2.2, 1.1, 95.0)], [(-7.3, 0.4, 150.0)], [(0.0, 3.3, 220.0)]],
+        max_targets=2,
+    )
+    _, _, pe = exact(cubes, xyz, valid)
+    _, _, pf = fast(cubes, xyz, valid)
+    np.testing.assert_allclose(np.asarray(pe), np.asarray(pf), atol=2e-5)
