@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grpc_host", type=str, default="127.0.0.1",
                    help="gRPC bind address; 0.0.0.0 accepts remote "
                         "edge clients")
+    p.add_argument("--grpc_batch_window_ms", type=float, default=0.0,
+                   help="dynamic batching: coalesce concurrent Classify "
+                        "calls for up to this window into one device "
+                        "batch (0 = off)")
+    p.add_argument("--grpc_batch_size", type=int, default=8,
+                   help="dynamic batching: max requests per device batch")
     p.add_argument("--grpc_publish", action="store_true",
                    help="with --grpc_port: run the local sensor loop "
                         "AND stream its detections to gRPC Subscribe "
@@ -197,6 +203,8 @@ def main(argv=None) -> dict:
             max_targets=int(getattr(predictor, "max_targets", 4)),
             port=args.grpc_port,
             host=args.grpc_host,
+            batch_window_ms=args.grpc_batch_window_ms,
+            batch_size=args.grpc_batch_size,
         )
         # Compile the (1, T) Classify program before accepting traffic
         # so the first client RPC doesn't absorb a 30-90 s compile and
@@ -206,13 +214,18 @@ def main(argv=None) -> dict:
 
         T_rpc = int(getattr(predictor, "max_targets", 4))
         logger.info("warming gRPC classify program...")
-        jax.block_until_ready(
-            predictor(
-                np.zeros((1,) + tuple(grid), np.float32),
-                np.zeros((1, T_rpc, 3), np.float32),
-                np.zeros((1, T_rpc), bool),
-            )
+        rpc_batches = (
+            {1, max(int(args.grpc_batch_size), 1)}
+            if args.grpc_batch_window_ms > 0 else {1}
         )
+        for b_rpc in sorted(rpc_batches):
+            jax.block_until_ready(
+                predictor(
+                    np.zeros((b_rpc,) + tuple(grid), np.float32),
+                    np.zeros((b_rpc, T_rpc, 3), np.float32),
+                    np.zeros((b_rpc, T_rpc), bool),
+                )
+            )
         rpc_server.start()
         swap_targets.append(rpc_server)
         print(json.dumps({"grpc_port": rpc_server.port}), flush=True)

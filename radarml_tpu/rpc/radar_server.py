@@ -46,8 +46,15 @@ class RadarServingError(RuntimeError):
 class RadarServingServer:
     """Serve a RadarPredictor (or AOT ServingArtifact) over gRPC.
 
-    Requests pad to a static (1, max_targets) program shape, so every
-    call hits the same compiled executable.
+    Without batching, requests pad to a static (1, max_targets) program
+    shape, so every call hits the same compiled executable. With
+    `batch_window_ms > 0`, concurrent Classify calls coalesce:
+    handler threads enqueue their (cube, targets) and block; a batcher
+    thread gathers up to `batch_size` requests (waiting at most the
+    window for stragglers), pads to the static (batch_size, T) shape,
+    runs ONE device program, and scatters the rows back — classic
+    dynamic batching, so K concurrent clients cost one device pass
+    instead of K serialized ones.
     """
 
     def __init__(
@@ -57,9 +64,11 @@ class RadarServingServer:
         grid_shape: Tuple[int, int, int],
         max_targets: int = 4,
         port: int = 0,
-        max_workers: int = 4,
+        max_workers: int = 8,
         loop_stats_fn=None,
         host: str = "127.0.0.1",
+        batch_window_ms: float = 0.0,
+        batch_size: int = 8,
     ):
         """`loop_stats_fn`: optional zero-arg callable returning the
         local sensor loop's stats dict (StreamingClassifier.stats()),
@@ -84,8 +93,80 @@ class RadarServingServer:
         self._stats_lock = threading.Lock()
         self._classify_count = 0
         self._events_published = 0
+        self._batches_run = 0
         self._started_at = time.monotonic()
         self.model_reloads = 0  # maintained via note_model_reload()
+
+        self._batch_window_s = max(float(batch_window_ms), 0.0) / 1e3
+        self._batch_size = max(int(batch_size), 1)
+        self._pending: "queue.Queue" = queue.Queue()
+        self._batcher: Optional[threading.Thread] = None
+        if self._batch_window_s > 0:
+            self._batcher = threading.Thread(
+                target=self._batch_loop, daemon=True, name="rpc-batcher"
+            )
+
+    # -- dynamic batching ----------------------------------------------
+
+    class _Pending:
+        __slots__ = ("cube", "xyz", "valid", "done", "result", "error")
+
+        def __init__(self, cube, xyz, valid):
+            self.cube = cube
+            self.xyz = xyz
+            self.valid = valid
+            self.done = threading.Event()
+            self.result = None
+            self.error = None
+
+    def _batch_loop(self):
+        B, T = self._batch_size, self._max_targets
+        while True:
+            item = self._pending.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self._batch_window_s
+            while len(batch) < B:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._pending.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._drain_batch(batch, RuntimeError("server stopped"))
+                    return
+                batch.append(nxt)
+            try:
+                n = len(batch)
+                cubes = np.zeros((B,) + self._grid, np.float32)
+                xyz = np.zeros((B, T, 3), np.float32)
+                valid = np.zeros((B, T), bool)
+                for i, p in enumerate(batch):
+                    cubes[i] = p.cube
+                    xyz[i] = p.xyz
+                    valid[i] = p.valid
+                t0 = time.perf_counter()
+                pred, best_p, proba = self._predictor(cubes, xyz, valid)
+                pred = np.asarray(pred)
+                best_p = np.asarray(best_p)
+                proba = np.asarray(proba)
+                ms = (time.perf_counter() - t0) * 1e3
+                with self._stats_lock:
+                    self._batches_run += 1
+                for i, p in enumerate(batch[:n]):
+                    p.result = (pred[i], best_p[i], proba[i], ms)
+                    p.done.set()
+            except Exception as e:  # surface to every waiter
+                self._drain_batch(batch, e)
+
+    @staticmethod
+    def _drain_batch(batch, error):
+        for p in batch:
+            p.error = error
+            p.done.set()
 
     # -- RPC implementations ------------------------------------------
 
@@ -115,21 +196,31 @@ class RadarServingServer:
         cube = cube.reshape(shape).astype(np.float32)
 
         n = min(len(request.targets), self._max_targets)
-        xyz = np.zeros((1, self._max_targets, 3), np.float32)
-        valid = np.zeros((1, self._max_targets), bool)
+        xyz = np.zeros((self._max_targets, 3), np.float32)
+        valid = np.zeros((self._max_targets,), bool)
         for t in range(n):
             tgt = request.targets[t]
-            xyz[0, t] = (tgt.x, tgt.y, tgt.z)
-            valid[0, t] = True
+            xyz[t] = (tgt.x, tgt.y, tgt.z)
+            valid[t] = True
 
         with self._stats_lock:
             self._classify_count += 1
-        t0 = time.perf_counter()
-        pred, best_p, proba = self._predictor(cube[None], xyz, valid)
-        pred = np.asarray(pred)[0]
-        best_p = np.asarray(best_p)[0]
-        proba = np.asarray(proba)[0]
-        latency_ms = (time.perf_counter() - t0) * 1e3
+        if self._batcher is not None:
+            p = self._Pending(cube, xyz, valid)
+            self._pending.put(p)
+            p.done.wait()
+            if p.error is not None:
+                context.abort(grpc.StatusCode.INTERNAL, str(p.error))
+            pred, best_p, proba, latency_ms = p.result
+        else:
+            t0 = time.perf_counter()
+            pred, best_p, proba = self._predictor(
+                cube[None], xyz[None], valid[None]
+            )
+            pred = np.asarray(pred)[0]
+            best_p = np.asarray(best_p)[0]
+            proba = np.asarray(proba)[0]
+            latency_ms = (time.perf_counter() - t0) * 1e3
 
         resp = pb.ClassifyResponse(model_latency_ms=latency_ms)
         for t in range(n):
@@ -242,12 +333,14 @@ class RadarServingServer:
             classify_count = self._classify_count
             events = self._events_published
             reloads = self.model_reloads
+            batches = self._batches_run
         stats = pb.ServingStats(
             classify_requests=classify_count,
             subscribers=n_subs,
             uptime_s=time.monotonic() - self._started_at,
             events_published=events,
             model_reloads=reloads,
+            classify_batches=batches,
         )
         if self._loop_stats_fn is not None:
             try:
@@ -267,11 +360,15 @@ class RadarServingServer:
     # -- lifecycle ----------------------------------------------------
 
     def start(self):
+        if self._batcher is not None and not self._batcher.is_alive():
+            self._batcher.start()
         self._server.start()
-        logger.info("radar serving endpoint on 127.0.0.1:%d", self.port)
+        logger.info("radar serving endpoint on port %d", self.port)
         return self
 
     def stop(self, grace: Optional[float] = 0.5):
+        if self._batcher is not None and self._batcher.is_alive():
+            self._pending.put(None)
         self._server.stop(grace)
 
     def __enter__(self):

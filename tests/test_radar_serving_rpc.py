@@ -257,3 +257,55 @@ def test_get_stats_counts_requests_and_events(served):
     assert after.classify_requests == before.classify_requests + 1
     assert after.events_published == before.events_published + 1
     assert after.uptime_s > 0
+
+
+def test_dynamic_batching_coalesces_and_matches(served):
+    """Concurrent Classify calls on a batching server coalesce into
+    fewer device batches and return the same answers as the unbatched
+    server."""
+    import threading
+
+    predictor, _server, plain_client = served
+    batched = RadarServingServer(
+        predictor, classes=["cat", "dog", "person"],
+        grid_shape=DEFAULT_ARENA.grid_shape,
+        batch_window_ms=80.0, batch_size=4,
+    ).start()
+    client = RadarServingClient(f"127.0.0.1:{batched.port}", timeout_s=30)
+    try:
+        rng = np.random.default_rng(9)
+        cubes = [
+            np.rint(rng.random(DEFAULT_ARENA.grid_shape) * 255).astype(
+                np.float32
+            )
+            for _ in range(4)
+        ]
+        targets = [(1.0 * i, -1.0 * i, 90.0 + 10 * i) for i in range(4)]
+
+        results = [None] * 4
+
+        def call(i):
+            results[i] = client.classify(cubes[i], [targets[i]], dtype="uint8")
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert all(r is not None for r in results)
+
+        # Same answers as the unbatched server, request by request.
+        for i in range(4):
+            want = plain_client.classify(cubes[i], [targets[i]], dtype="uint8")
+            np.testing.assert_allclose(
+                np.asarray(results[i][0].class_probas),
+                np.asarray(want[0].class_probas),
+                atol=1e-6,
+            )
+
+        stats = client.get_stats()
+        assert stats.classify_requests == 4
+        assert 1 <= stats.classify_batches < 4  # coalescing happened
+    finally:
+        client.close()
+        batched.stop()
