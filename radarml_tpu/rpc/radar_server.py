@@ -379,11 +379,30 @@ class RadarServingServer:
 
 
 class RadarServingClient:
-    """Thin client: numpy cube + (x, y, z) targets → detections."""
+    """Thin client: numpy cube + (x, y, z) targets → detections.
 
-    def __init__(self, address: str, timeout_s: float = 10.0):
+    Unary calls retry transient failures (UNAVAILABLE — server
+    restarting or network blip — and DEADLINE_EXCEEDED) with
+    exponential backoff before surfacing RadarServingError, mirroring
+    the capture loop's camera-RPC policy (fusion/capture.py).
+    """
+
+    _RETRYABLE = (
+        grpc.StatusCode.UNAVAILABLE,
+        grpc.StatusCode.DEADLINE_EXCEEDED,
+    )
+
+    def __init__(
+        self,
+        address: str,
+        timeout_s: float = 10.0,
+        retries: int = 2,
+        backoff_s: float = 0.25,
+    ):
         self._channel = grpc.insecure_channel(address)
         self._timeout = timeout_s
+        self._retries = max(int(retries), 0)
+        self._backoff_s = backoff_s
         self._classify = self._channel.unary_unary(
             f"/{SERVICE_NAME}/Classify",
             request_serializer=pb.ScanRequest.SerializeToString,
@@ -394,6 +413,21 @@ class RadarServingClient:
             request_serializer=pb.Empty.SerializeToString,
             response_deserializer=pb.ServingConfig.FromString,
         )
+
+    def _call(self, fn, request):
+        delay = self._backoff_s
+        for attempt in range(self._retries + 1):
+            try:
+                return fn(request, timeout=self._timeout)
+            except grpc.RpcError as e:
+                code = e.code() if hasattr(e, "code") else None
+                if attempt >= self._retries or code not in self._RETRYABLE:
+                    raise RadarServingError(str(e)) from e
+                logger.debug(
+                    "retrying %s after %s (attempt %d)", fn, code, attempt + 1
+                )
+                time.sleep(delay)
+                delay *= 2
 
     def classify(
         self,
@@ -415,16 +449,10 @@ class RadarServingClient:
                 for x, y, z in targets
             ],
         )
-        try:
-            return list(self._classify(req, timeout=self._timeout).detections)
-        except grpc.RpcError as e:
-            raise RadarServingError(str(e)) from e
+        return list(self._call(self._classify, req).detections)
 
     def get_config(self) -> pb.ServingConfig:
-        try:
-            return self._config(pb.Empty(), timeout=self._timeout)
-        except grpc.RpcError as e:
-            raise RadarServingError(str(e)) from e
+        return self._call(self._config, pb.Empty())
 
     def get_stats(self) -> pb.ServingStats:
         stats = self._channel.unary_unary(
@@ -432,10 +460,7 @@ class RadarServingClient:
             request_serializer=pb.Empty.SerializeToString,
             response_deserializer=pb.ServingStats.FromString,
         )
-        try:
-            return stats(pb.Empty(), timeout=self._timeout)
-        except grpc.RpcError as e:
-            raise RadarServingError(str(e)) from e
+        return self._call(stats, pb.Empty())
 
     def subscribe(self, timeout_s: Optional[float] = None):
         """Iterate live DetectionEvents from the server's sensor loop.

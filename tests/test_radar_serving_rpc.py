@@ -309,3 +309,39 @@ def test_dynamic_batching_coalesces_and_matches(served):
     finally:
         client.close()
         batched.stop()
+
+
+def test_client_retries_transient_unavailable(served):
+    """The client retries UNAVAILABLE with backoff: a call made while
+    the server is briefly down succeeds once it returns."""
+    import threading
+    import time as _time
+
+    predictor, _server, _client = served
+    # Fixed port so the re-started server is reachable at the same addr.
+    s1 = RadarServingServer(
+        predictor, classes=["cat", "dog", "person"],
+        grid_shape=DEFAULT_ARENA.grid_shape, port=50931,
+    ).start()
+    client = RadarServingClient(
+        "127.0.0.1:50931", timeout_s=10, retries=4, backoff_s=0.3
+    )
+    try:
+        cfg = client.get_config()
+        assert list(cfg.classes) == ["cat", "dog", "person"]
+        s1.stop(grace=0)
+
+        def bring_back():
+            _time.sleep(1.0)
+            RadarServingServer(
+                predictor, classes=["cat", "dog", "person"],
+                grid_shape=DEFAULT_ARENA.grid_shape, port=50931,
+            ).start()
+
+        th = threading.Thread(target=bring_back)
+        th.start()
+        cfg2 = client.get_config()  # retried through the downtime
+        th.join()
+        assert list(cfg2.classes) == ["cat", "dog", "person"]
+    finally:
+        client.close()
