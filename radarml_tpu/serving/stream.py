@@ -90,6 +90,7 @@ class StreamingClassifier:
         self.classify_rate = RateMeter()
         self.dropped = 0
         self.processed = 0
+        self.predict_errors = 0
         self.batches: List[int] = []
         self.latencies_ms: List[float] = []
         self._seq = 0
@@ -154,10 +155,29 @@ class StreamingClassifier:
         return batch
 
     def _predict_loop(self):
+        # Same survival policy as the ingest loop: any exception —
+        # a hot-swapped predictor edge case, a transient device error,
+        # a raising on_detection callback — is counted and logged with
+        # bounded backoff instead of silently killing the service
+        # while ingest keeps running.
+        backoff = 0.05
         while not self._stop.is_set():
+            try:
+                self._predict_once()
+                backoff = 0.05
+            except Exception:
+                self.predict_errors += 1
+                logger.exception(
+                    "predict loop error (#%d); retrying in %.2fs",
+                    self.predict_errors, backoff,
+                )
+                self._stop.wait(backoff)
+                backoff = min(backoff * 2, 2.0)
+
+    def _predict_once(self):
             batch = self._collect_batch()
             if not batch:
-                continue
+                return
             cubes = np.stack([s.cube for s in batch])
             target_lists = [
                 [(t[0], t[1], t[2]) for t in s.targets] for s in batch
@@ -242,6 +262,7 @@ class StreamingClassifier:
             "mean_batch": float(np.mean(self.batches)) if self.batches else 0.0,
             "latency_p50_ms": float(np.percentile(lat, 50)),
             "latency_p95_ms": float(np.percentile(lat, 95)),
+            "predict_errors": self.predict_errors,
         }
 
 

@@ -131,3 +131,53 @@ def test_multi_sensor_ingest(predictor):
     assert svc.processed >= 12
     # sequence numbers unique across sensors
     assert svc._seq >= svc.processed
+
+
+def test_predict_loop_survives_predictor_exceptions():
+    """A raising predictor (or callback) is counted + retried instead
+    of silently killing the predict thread."""
+    import time
+
+    import numpy as np
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.serving import StreamConfig, StreamingClassifier
+
+    calls = {"n": 0}
+
+    def flaky_predictor(cubes, xyz, valid):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient device error")
+        import jax.numpy as jnp
+
+        B, T = valid.shape
+        return (
+            jnp.zeros((B, T), jnp.int32),
+            jnp.ones((B, T), jnp.float32),
+            jnp.ones((B, T, 3), jnp.float32) / 3,
+        )
+
+    got = []
+    svc = StreamingClassifier(
+        flaky_predictor,
+        StreamConfig(max_batch=2, max_wait_s=0.01, queue_depth=8),
+        on_detection=got.append,
+    )
+
+    seq = {"i": 0}
+
+    def source():
+        seq["i"] += 1
+        time.sleep(0.02)
+        cube = np.zeros(DEFAULT_ARENA.grid_shape, np.float32)
+        return cube, [(0.0, 0.0, 100.0)]
+
+    svc.start(source)
+    deadline = time.time() + 15
+    while time.time() < deadline and not got:
+        time.sleep(0.1)
+    svc.stop()
+    stats = svc.stats()
+    assert stats["predict_errors"] >= 2
+    assert got, "service never recovered after predictor exceptions"
