@@ -460,13 +460,16 @@ def train_sgan(
     y_sup_d = jnp.asarray(y_sup, jnp.int32)
     X_d = jnp.asarray(X)
 
+    # Dataset arrays are jit ARGUMENTS, not closure captures — captured
+    # concrete arrays embed as HLO constants, bloating the compiled
+    # program by the full dataset size (see train/trainer.py).
     @jax.jit
-    def data_step(state, six, rix, key):
+    def data_step(state, Xs, ys, Xr, six, rix, key):
         return step_fn(
             state,
-            jnp.take(X_sup_d, six, axis=0),
-            jnp.take(y_sup_d, six, axis=0),
-            jnp.take(X_d, rix, axis=0),
+            jnp.take(Xs, six, axis=0),
+            jnp.take(ys, six, axis=0),
+            jnp.take(Xr, rix, axis=0),
             key,
         )
 
@@ -481,16 +484,16 @@ def train_sgan(
     # by device time. Debug logging falls back to per-step dispatches
     # (it syncs losses anyway).
     @jax.jit
-    def run_chunk(state, key, six_all, rix_all):
+    def run_chunk(state, key, Xs, ys, Xr, six_all, rix_all):
         def body(carry, xs):
             state, key = carry
             six, rix = xs
             key, sk = jax.random.split(key)
             state, losses = step_fn(
                 state,
-                jnp.take(X_sup_d, six, axis=0),
-                jnp.take(y_sup_d, six, axis=0),
-                jnp.take(X_d, rix, axis=0),
+                jnp.take(Xs, six, axis=0),
+                jnp.take(ys, six, axis=0),
+                jnp.take(Xr, rix, axis=0),
                 sk,
             )
             return (state, key), losses
@@ -515,7 +518,8 @@ def train_sgan(
             for s in range(chunk):
                 key, sk = jax.random.split(key)
                 state, losses = data_step(
-                    state, jnp.asarray(six_np[s]), jnp.asarray(rix_np[s]), sk
+                    state, X_sup_d, y_sup_d, X_d,
+                    jnp.asarray(six_np[s]), jnp.asarray(rix_np[s]), sk,
                 )
                 logger.debug(
                     "Training results at step %d: c[%.3f,%.0f], d_r[%.3f], "
@@ -527,7 +531,8 @@ def train_sgan(
                 )
         else:
             state, key, _ = run_chunk(
-                state, key, jnp.asarray(six_np), jnp.asarray(rix_np)
+                state, key, X_sup_d, y_sup_d, X_d,
+                jnp.asarray(six_np), jnp.asarray(rix_np),
             )
         i = boundary
         if i % every == 0:

@@ -101,36 +101,6 @@ def train_cnn(
     Xv = jnp.asarray(X_val)
     yv = jnp.asarray(y_val)
 
-    def one_batch(carry, batch_idx):
-        params, opt_state, key = carry
-        xb = jnp.take(Xd, batch_idx, axis=0)
-        yb = jnp.take(yd, batch_idx, axis=0)
-        if mesh is not None:
-            xb = jax.lax.with_sharding_constraint(xb, data_sh)
-        key, dk = jax.random.split(key)
-
-        def loss_fn(p):
-            logits = model.apply(
-                {"params": p}, xb, train=True, rngs={"dropout": dk}
-            )
-            loss = weighted_xent_loss(logits, yb, weights_dev)
-            acc = (logits.argmax(-1) == yb).mean()
-            return loss, acc
-
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        if mesh is not None:
-            params = jax.lax.with_sharding_constraint(params, rep_sh)
-        return (params, opt_state, key), (loss, acc)
-
-    def eval_all(params):
-        logits = model.apply({"params": params}, Xv, train=False)
-        logp = jax.nn.log_softmax(logits)
-        nll = -jnp.take_along_axis(logp, yv[:, None], axis=1)[:, 0]
-        correct = (logits.argmax(-1) == yv).astype(jnp.float32)
-        return nll.mean(), correct.mean()
-
     rng = np.random.default_rng(config.seed)
     key = jax.random.PRNGKey(config.seed)
     has_val = len(yv) > 0
@@ -151,42 +121,84 @@ def train_cnn(
     perms_np = np.stack([rng.permutation(n)[:n_used] for _ in range(E)])
     perms = jnp.asarray(perms_np.reshape(E, n_batches, bs), jnp.int32)
 
-    def epoch_body(carry):
-        params, opt_state, epoch, best_params, best_val, stale, hist = carry
-        # Distinct dropout stream per epoch: fold_in decorrelates epochs
-        # (re-splitting the same base key would replay epoch e's batch
-        # masks in epoch e+1, offset by one batch).
-        ekey = jax.random.fold_in(key, epoch)
-        batches = jax.lax.dynamic_index_in_dim(
-            perms, epoch, axis=0, keepdims=False
-        )
-        (params, opt_state, _), (losses, accs) = jax.lax.scan(
-            one_batch, (params, opt_state, ekey), batches
-        )
-        ep_loss, ep_acc = losses.mean(), accs.mean()
-        if has_val:
-            val_loss, val_acc = eval_all(params)
-            metric = val_loss
-        else:
-            val_loss = val_acc = jnp.float32(jnp.nan)
-            metric = ep_loss
-        improved = metric < best_val
-        best_params = jax.tree.map(
-            lambda b, p: jnp.where(improved, p, b), best_params, params
-        )
-        best_val = jnp.where(improved, metric, best_val)
-        stale = jnp.where(improved, 0, stale + 1)
-        hist = hist.at[epoch].set(
-            jnp.stack([ep_loss, ep_acc, val_loss, val_acc])
-        )
-        return params, opt_state, epoch + 1, best_params, best_val, stale, hist
-
-    def keep_going(carry):
-        epoch, stale = carry[2], carry[5]
-        return (epoch < E) & (stale < patience)
-
+    # Dataset/permutation arrays are ARGUMENTS of the jitted run, never
+    # closure captures: JAX embeds captured concrete arrays as HLO
+    # constants, which bloats the program by the full dataset size
+    # (hundreds of MB at reference scale — measured to overflow a
+    # remote-compile transport, and slow to compile anywhere).
     @jax.jit
-    def run(params, opt_state):
+    def run(params, opt_state, Xd, yd, Xv, yv, perms):
+        def one_batch(carry, batch_idx):
+            params, opt_state, key = carry
+            xb = jnp.take(Xd, batch_idx, axis=0)
+            yb = jnp.take(yd, batch_idx, axis=0)
+            if mesh is not None:
+                xb = jax.lax.with_sharding_constraint(xb, data_sh)
+            key, dk = jax.random.split(key)
+
+            def loss_fn(p):
+                logits = model.apply(
+                    {"params": p}, xb, train=True, rngs={"dropout": dk}
+                )
+                loss = weighted_xent_loss(logits, yb, weights_dev)
+                acc = (logits.argmax(-1) == yb).mean()
+                return loss, acc
+
+            (loss, acc), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if mesh is not None:
+                params = jax.lax.with_sharding_constraint(params, rep_sh)
+            return (params, opt_state, key), (loss, acc)
+
+        def eval_all(params):
+            logits = model.apply({"params": params}, Xv, train=False)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(logp, yv[:, None], axis=1)[:, 0]
+            correct = (logits.argmax(-1) == yv).astype(jnp.float32)
+            return nll.mean(), correct.mean()
+
+        def epoch_body(carry):
+            params, opt_state, epoch, best_params, best_val, stale, hist = (
+                carry
+            )
+            # Distinct dropout stream per epoch: fold_in decorrelates
+            # epochs (re-splitting the same base key would replay epoch
+            # e's batch masks in epoch e+1, offset by one batch).
+            ekey = jax.random.fold_in(key, epoch)
+            batches = jax.lax.dynamic_index_in_dim(
+                perms, epoch, axis=0, keepdims=False
+            )
+            (params, opt_state, _), (losses, accs) = jax.lax.scan(
+                one_batch, (params, opt_state, ekey), batches
+            )
+            ep_loss, ep_acc = losses.mean(), accs.mean()
+            if has_val:
+                val_loss, val_acc = eval_all(params)
+                metric = val_loss
+            else:
+                val_loss = val_acc = jnp.float32(jnp.nan)
+                metric = ep_loss
+            improved = metric < best_val
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(improved, p, b), best_params, params
+            )
+            best_val = jnp.where(improved, metric, best_val)
+            stale = jnp.where(improved, 0, stale + 1)
+            hist = hist.at[epoch].set(
+                jnp.stack([ep_loss, ep_acc, val_loss, val_acc])
+            )
+            return (
+                params, opt_state, epoch + 1, best_params, best_val, stale,
+                hist,
+            )
+
+        def keep_going(carry):
+            epoch, stale = carry[2], carry[5]
+            return (epoch < E) & (stale < patience)
+
         hist0 = jnp.full((E, 4), jnp.nan, jnp.float32)
         carry = (
             params, opt_state, jnp.int32(0), params,
@@ -196,7 +208,9 @@ def train_cnn(
         return out[3], out[2], out[6]
 
     t0 = time.perf_counter()
-    best_params, epochs_run_d, hist_d = run(params, opt_state)
+    best_params, epochs_run_d, hist_d = run(
+        params, opt_state, Xd, yd, Xv, yv, perms
+    )
     # One fetch for the whole run's metrics.
     epochs_run, hist = jax.device_get((epochs_run_d, hist_d))
     epochs_run = int(epochs_run)
