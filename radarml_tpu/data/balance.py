@@ -48,7 +48,8 @@ def balance_classes(
         shuffle_rng: generator for the optional shuffle.
 
     Returns:
-        (labels, data) or (labels, data, sup_mask) balanced arrays.
+        (labels, data) — or, with sup_mask, (data, labels, sup_mask) in
+        the reference SGAN variant's order (sgan.py:336-337).
     """
     labels = np.asarray(labels)
     # Device (jax) feature matrices gather on device — the pick indices

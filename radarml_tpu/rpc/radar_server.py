@@ -208,7 +208,14 @@ class RadarServingServer:
         if self._batcher is not None:
             p = self._Pending(cube, xyz, valid)
             self._pending.put(p)
-            p.done.wait()
+            # Bounded wait: if the batcher dies or stop() races this
+            # enqueue, abort the RPC instead of blocking the handler
+            # thread forever (stop() also drains stragglers).
+            while not p.done.wait(timeout=1.0):
+                if not self._batcher.is_alive():
+                    context.abort(
+                        grpc.StatusCode.UNAVAILABLE, "server shutting down"
+                    )
             if p.error is not None:
                 context.abort(grpc.StatusCode.INTERNAL, str(p.error))
             pred, best_p, proba, latency_ms = p.result
@@ -369,6 +376,16 @@ class RadarServingServer:
     def stop(self, grace: Optional[float] = 0.5):
         if self._batcher is not None and self._batcher.is_alive():
             self._pending.put(None)
+            self._batcher.join(timeout=5.0)
+            # Requests enqueued after the sentinel would otherwise wait
+            # forever; fail them so their handler threads return.
+            while True:
+                try:
+                    p = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                if p is not None:
+                    self._drain_batch([p], RuntimeError("server stopped"))
         self._server.stop(grace)
 
     def __enter__(self):

@@ -107,7 +107,15 @@ class ServingArtifact:
 
 
 def load_serving_artifact(path: str) -> ServingArtifact:
-    """Load an exported predictor; no model code or weights needed."""
+    """Load an exported predictor; no model code or weights needed.
+
+    Trust requirement: the artifact is a pickle (metadata wrapping the
+    serialized StableHLO blob), so loading executes the unpickler —
+    only load artifacts from trusted paths. This matches the
+    reference's own deployment story (an sklearn pickle,
+    predict.py:224-227); with `ModelReloader` watching the path,
+    anyone with write access to it controls the serving process.
+    """
     from jax import export as jexport
 
     with open(path, "rb") as fp:

@@ -21,12 +21,13 @@ the one jitted program per batch.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import logging
 import queue
 import threading
 import time
-from typing import Callable, List, NamedTuple, Optional, Sequence
+from typing import Callable, Deque, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -59,6 +60,11 @@ class StreamConfig:
     max_wait_s: float = 0.01
     queue_depth: int = 256
     max_targets: int = 4
+    # Sliding window for latency percentiles / batch-size stats. The
+    # service is a long-running loop: unbounded per-scan lists would
+    # grow by ~tens of millions of floats per day at 1k scans/s, so
+    # stats keep a bounded recent window plus running totals.
+    stats_window: int = 4096
 
 
 class StreamingClassifier:
@@ -91,8 +97,14 @@ class StreamingClassifier:
         self.dropped = 0
         self.processed = 0
         self.predict_errors = 0
-        self.batches: List[int] = []
-        self.latencies_ms: List[float] = []
+        # Bounded recent windows (memory-flat over day-long runs) plus
+        # running totals for all-time aggregates.
+        self.batches: Deque[int] = collections.deque(maxlen=cfg.stats_window)
+        self.latencies_ms: Deque[float] = collections.deque(
+            maxlen=cfg.stats_window
+        )
+        self._batch_count = 0
+        self._batch_sum = 0
         self._seq = 0
 
     # -- ingest ------------------------------------------------------------
@@ -205,6 +217,8 @@ class StreamingClassifier:
             now = time.perf_counter()
             self.processed += len(batch)
             self.batches.append(len(batch))
+            self._batch_count += 1
+            self._batch_sum += len(batch)
             self.classify_rate.tick(len(batch))
             for b, scan in enumerate(batch):
                 lat_ms = (now - scan.t_ingest) * 1e3
@@ -253,13 +267,18 @@ class StreamingClassifier:
                 t.join(timeout)
 
     def stats(self) -> dict:
+        """Percentiles cover the recent `stats_window` scans; counts
+        and mean batch size are all-time."""
         lat = np.asarray(self.latencies_ms) if self.latencies_ms else np.zeros(1)
+        mean_batch = (
+            self._batch_sum / self._batch_count if self._batch_count else 0.0
+        )
         return {
             "processed": self.processed,
             "dropped": self.dropped,
             "ingest_rate": self.ingest_rate.rate,
             "classify_rate": self.classify_rate.rate,
-            "mean_batch": float(np.mean(self.batches)) if self.batches else 0.0,
+            "mean_batch": float(mean_batch),
             "latency_p50_ms": float(np.percentile(lat, 50)),
             "latency_p95_ms": float(np.percentile(lat, 95)),
             "predict_errors": self.predict_errors,

@@ -519,7 +519,15 @@ def _run_grid_svc_batched(
 
     scores = np.zeros((len(candidates), folds))
     for (kernel, gamma), idxs in groups.items():
-        K = G if kernel == "linear" else jnp.exp(-float(gamma) * d2)
+        if kernel == "linear":
+            K = G
+        else:
+            # String gammas ('scale'/'auto') resolve against the full
+            # training matrix — matching the final refit's resolution.
+            # (sklearn resolves per CV fold; the fold-variance delta is
+            # negligible and keeping one K per kernel group preserves
+            # the single-dispatch structure.)
+            K = jnp.exp(-jsvc._resolve_gamma(gamma, Xd) * d2)
         Cs_np = np.asarray(
             [float(candidates[i]["C"]) for i in idxs], np.float32
         )

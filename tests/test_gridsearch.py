@@ -152,3 +152,27 @@ def test_sgd_grid_mesh_sharded_bit_identical(rng):
     assert sharded.best_params == single.best_params
     for a, b in zip(single.cv_results, sharded.cv_results):
         assert a["split_scores"] == b["split_scores"]
+
+
+def test_svc_batched_grid_resolves_string_gamma(rng):
+    """gamma='scale'/'auto' work on the device-batched path and match
+    the explicitly-resolved numeric gamma."""
+    from radarml_tpu.models.svc import _resolve_gamma
+
+    X, y = _blobs(rng, n=36, k=2, f=8)
+    for gamma in ("scale", "auto"):
+        g = _resolve_gamma(gamma, X)
+        named = gs.grid_search_svc(
+            X, y, folds=3, grid=[{"C": [1.0], "gamma": [gamma],
+                                  "kernel": ["rbf"]}],
+            probability=False, device_batched=True,
+        )
+        numeric = gs.grid_search_svc(
+            X, y, folds=3, grid=[{"C": [1.0], "gamma": [g],
+                                  "kernel": ["rbf"]}],
+            probability=False, device_batched=True,
+        )
+        np.testing.assert_allclose(
+            named.cv_results[0]["mean_test_score"],
+            numeric.cv_results[0]["mean_test_score"], atol=1e-6,
+        )

@@ -345,3 +345,47 @@ def test_client_retries_transient_unavailable(served):
         assert list(cfg2.classes) == ["cat", "dog", "person"]
     finally:
         client.close()
+
+
+def test_stop_drains_inflight_batched_requests():
+    """stop() must not leave batched Classify handlers blocked forever:
+    in-flight/straggler requests fail fast instead of hanging."""
+    import threading
+    import time
+
+    rng = np.random.default_rng(9)
+    C, F = 3, DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(C, F)) * 0.01, jnp.float32),
+        intercept=jnp.zeros((C,), jnp.float32),
+    )
+    predictor = RadarPredictor(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, min_proba=0.0, mode="fast",
+    )
+    server = RadarServingServer(
+        predictor, classes=["a", "b", "c"],
+        grid_shape=DEFAULT_ARENA.grid_shape,
+        batch_window_ms=300.0, batch_size=8,
+    ).start()
+    client = RadarServingClient(f"127.0.0.1:{server.port}",
+                                timeout_s=15.0, retries=0)
+    cube = np.zeros(DEFAULT_ARENA.grid_shape, np.float32)
+    outcomes = []
+
+    def call():
+        try:
+            outcomes.append(("ok", client.classify(cube, [(0, 0, 100.0)])))
+        except Exception as e:
+            outcomes.append(("err", e))
+
+    threads = [threading.Thread(target=call) for _ in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(0.05)  # let requests land in the batcher window
+    server.stop()
+    for t in threads:
+        t.join(timeout=20.0)
+        assert not t.is_alive(), "Classify handler hung across stop()"
+    assert len(outcomes) == 4
+    client.close()

@@ -181,3 +181,31 @@ def test_predict_loop_survives_predictor_exceptions():
     stats = svc.stats()
     assert stats["predict_errors"] >= 2
     assert got, "service never recovered after predictor exceptions"
+
+
+def test_stats_memory_bounded(predictor):
+    """Long-running stats stay memory-flat: percentile/batch windows
+    are bounded deques; counts/mean_batch remain all-time."""
+    import queue
+
+    from radarml_tpu.serving.stream import Scan
+
+    svc = StreamingClassifier(
+        predictor, StreamConfig(max_batch=2, max_wait_s=0.05, stats_window=16),
+    )
+    cube = np.zeros(DEFAULT_ARENA.grid_shape, np.float32)
+    n_batches = 100
+    for b in range(n_batches):
+        for i in range(2):
+            svc._q.put_nowait(
+                Scan(cube, [(0.0, 0.0, 100.0)], time.perf_counter(), 2 * b + i)
+            )
+        svc._predict_once()
+    assert svc.processed == 2 * n_batches
+    assert len(svc.latencies_ms) == 16  # bounded, not 200
+    assert len(svc.batches) == 16
+    stats = svc.stats()
+    assert stats["mean_batch"] == 2.0  # all-time mean, not window mean
+    assert stats["processed"] == 2 * n_batches
+    with pytest.raises(queue.Empty):
+        svc._q.get_nowait()
