@@ -102,6 +102,46 @@ def parse_proj_mask(values: Sequence) -> ProjMask:
     return ProjMask(*vals)
 
 
+def add_scan_arena_flag(parser: argparse.ArgumentParser):
+    """--scan_arena: serve scans from a DIFFERENTLY-configured arena.
+
+    The reference predictor is explicitly designed to classify scans
+    from an arena that differs from the training arena — it zooms each
+    projection by train_size/scan_size per axis (reference
+    predict.py:34-54 calc_proj_zoom). The library implements this
+    (ops/features.predict_zoom + RadarPredictor(scan_arena=...)); this
+    flag makes it reachable from the CLI.
+    """
+    parser.add_argument(
+        "--scan_arena", type=str, default="",
+        help="scan arena if it differs from the training arena, as "
+             "9 comma-separated values "
+             "r_min,r_max,r_res,theta_min,theta_max,theta_res,"
+             "phi_min,phi_max,phi_res (cm / deg; default: the "
+             "training arena, i.e. %s)" % (
+                 "10,360,2,-42,42,4,-30,30,2",
+             ),
+    )
+
+
+def parse_arena(spec: str, default: Arena = DEFAULT_ARENA) -> Arena:
+    """Parse a --scan_arena value; '' → the default (training) arena."""
+    if not spec:
+        return default
+    vals = [float(v) for v in spec.replace(" ", "").split(",")]
+    if len(vals) != 9:
+        raise ValueError(
+            "--scan_arena needs 9 comma-separated values "
+            "(r_min,r_max,r_res,theta_min,theta_max,theta_res,"
+            "phi_min,phi_max,phi_res); got %d" % len(vals)
+        )
+    return Arena(
+        r_min=vals[0], r_max=vals[1], r_res=vals[2],
+        theta_min=vals[3], theta_max=vals[4], theta_res=vals[5],
+        phi_min=vals[6], phi_max=vals[7], phi_res=vals[8],
+    )
+
+
 def add_driver_flags(parser: argparse.ArgumentParser):
     parser.add_argument(
         "--driver", type=str, default="synthetic",

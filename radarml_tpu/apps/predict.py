@@ -24,9 +24,11 @@ import numpy as np
 from radarml_tpu.apps.common_cli import (
     add_common_flags,
     add_driver_flags,
+    add_scan_arena_flag,
     build_driver,
     load_label_encoder,
     load_model,
+    parse_arena,
     parse_proj_mask,
     setup_logging,
     warm_transfers,
@@ -71,6 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "common.py:45-80)")
     p.add_argument("--profile", type=str, default="",
                    help="write a jax.profiler device trace to this dir")
+    add_scan_arena_flag(p)
     add_driver_flags(p)
     add_common_flags(p)
     return p
@@ -86,9 +89,16 @@ def main(argv=None) -> list:
     logger.info("Loaded model from %s; classes: %s",
                 args.svm_model, list(le.classes_))
 
-    arena = DEFAULT_ARENA
+    # The radar scans --scan_arena; features zoom into the training
+    # arena inside the predictor (reference predict.py:34-54).
+    arena = parse_arena(args.scan_arena)
+    if arena != DEFAULT_ARENA:
+        logger.info(
+            "Scan arena %s differs from training arena; zooming "
+            "projections by train/scan per axis.", arena.grid_shape,
+        )
     predictor = RadarPredictor(
-        train_arena=arena,
+        train_arena=DEFAULT_ARENA,
         scan_arena=arena,
         model=model,
         calibration=calib,

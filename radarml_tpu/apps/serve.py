@@ -17,9 +17,11 @@ import time
 from radarml_tpu.apps.common_cli import (
     add_common_flags,
     add_driver_flags,
+    add_scan_arena_flag,
     build_driver,
     load_label_encoder,
     load_model,
+    parse_arena,
     setup_logging,
     warm_transfers,
 )
@@ -90,6 +92,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "seconds and swap the predictor in-place when "
                         "it changes (0 = off); pairs with "
                         "train --online_learn rewriting the artifact")
+    add_scan_arena_flag(p)
     add_driver_flags(p)
     add_common_flags(p)
     return p
@@ -106,6 +109,10 @@ def main(argv=None) -> dict:
             "--svm_model, not --serving_artifact"
         )
     le = load_label_encoder(args.label_encoder)
+    # Sensors scan --scan_arena; the predictor zooms projections into
+    # the training arena (reference predict.py:34-54). AOT artifacts
+    # bake their own scan grid and ignore this flag.
+    scan_arena = parse_arena(args.scan_arena)
 
     def build_predictor():
         if args.serving_artifact:
@@ -126,7 +133,7 @@ def main(argv=None) -> dict:
             return p
         model, calib = load_model(args.svm_model)
         return RadarPredictor(
-            train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+            train_arena=DEFAULT_ARENA, scan_arena=scan_arena,
             model=model, calibration=calib,
             min_proba=args.min_proba, mode=args.mode,
             cube_dtype=args.cube_dtype,
@@ -154,7 +161,7 @@ def main(argv=None) -> dict:
             # the new predictor's own grid/target geometry (an AOT
             # artifact bakes both).
             grid = tuple(
-                getattr(p, "grid_shape", None) or DEFAULT_ARENA.grid_shape
+                getattr(p, "grid_shape", None) or scan_arena.grid_shape
             )
             T = int(getattr(p, "max_targets", 4))
             loop_active = args.grpc_port < 0 or args.grpc_publish
@@ -196,7 +203,7 @@ def main(argv=None) -> dict:
     if args.grpc_port >= 0:
         from radarml_tpu.rpc.radar_server import RadarServingServer
 
-        grid = getattr(predictor, "grid_shape", None) or DEFAULT_ARENA.grid_shape
+        grid = getattr(predictor, "grid_shape", None) or scan_arena.grid_shape
         rpc_server = RadarServingServer(
             predictor, classes=list(le.classes_), grid_shape=grid,
             # An AOT artifact bakes its target-slot axis; match it.
@@ -269,7 +276,7 @@ def main(argv=None) -> dict:
 
     logger.info("warming predictor (compile)...")
     warm_cubes = np.zeros(
-        (args.max_batch,) + DEFAULT_ARENA.grid_shape, np.float32
+        (args.max_batch,) + scan_arena.grid_shape, np.float32
     )
     warm_xyz = np.tile(
         np.array([0.0, 0.0, 100.0], np.float32), (args.max_batch, 4, 1)
@@ -301,11 +308,11 @@ def main(argv=None) -> dict:
         from radarml_tpu.drivers import NativeScanSource
 
         src = NativeScanSource(
-            arena=DEFAULT_ARENA, seed=args.driver_seed,
+            arena=scan_arena, seed=args.driver_seed,
             scan_period_us=args.scan_period * 1e6,
         )
         src.start()
-        source = native_scan_source(src, DEFAULT_ARENA)
+        source = native_scan_source(src, scan_arena)
         cleanup = src.close
     else:
         from radarml_tpu.drivers import RadarSession
@@ -315,7 +322,7 @@ def main(argv=None) -> dict:
         for s in range(max(args.sensors, 1)):
             sensor_args = argparse.Namespace(**vars(args))
             sensor_args.driver_seed = args.driver_seed + s
-            driver = build_driver(sensor_args, DEFAULT_ARENA)
+            driver = build_driver(sensor_args, scan_arena)
             session = RadarSession(driver)
             session.__enter__()
             sessions.append(session)

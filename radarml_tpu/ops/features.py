@@ -15,6 +15,7 @@ single jitted program.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Sequence, Tuple
 
 import jax
@@ -85,6 +86,7 @@ def predict_zoom(train_arena: Arena, scan_arena: Arena) -> ProjZoom:
     return ProjZoom(xz=(zx, zz), yz=(zy, zz), xy=(zx, zy))
 
 
+@functools.lru_cache(maxsize=64)
 def make_feature_fn(
     spec: FeatureSpec,
 ) -> Callable[[jax.Array, jax.Array, jax.Array], jax.Array]:
@@ -94,6 +96,13 @@ def make_feature_fn(
     shape; the output is the (B, feature_length) matrix the classifiers
     consume, matching the reference feature layout bit-for-bit (within
     float32) so pickled-reference-model predictions reproduce.
+
+    Cached per FeatureSpec (which is hashable and fully determines the
+    program): repeated `process_samples`/`process_views` calls — e.g.
+    the per-epoch augment loop in apps/train.py — reuse ONE traced
+    function instead of re-tracing a fresh `@jax.jit` closure each
+    call (the persistent compile cache hides XLA recompiles but not
+    tracing cost).
     """
     mats = []
     for shape, zoom, keep in zip(
@@ -171,17 +180,17 @@ def process_views(
     augment → featurize chain involves zero host transfers.
     """
     norm_zoom = ProjZoom(*[
-        tuple(np.atleast_1d(z).astype(float)[:2]) if np.ndim(z)
+        tuple(float(v) for v in np.atleast_1d(z)[:2]) if np.ndim(z)
         else (float(z), float(z))
         for z in proj_zoom
     ])
     spec = FeatureSpec(
-        xz_shape=tuple(xz.shape[1:]),
-        yz_shape=tuple(yz.shape[1:]),
-        xy_shape=tuple(xy.shape[1:]),
-        proj_mask=ProjMask(*proj_mask),
+        xz_shape=tuple(int(s) for s in xz.shape[1:]),
+        yz_shape=tuple(int(s) for s in yz.shape[1:]),
+        xy_shape=tuple(int(s) for s in xy.shape[1:]),
+        proj_mask=ProjMask(*(bool(m) for m in proj_mask)),
         proj_zoom=norm_zoom,
-        scale=scale,
+        scale=bool(scale),
     )
     fn = make_feature_fn(spec)
     out = fn(

@@ -220,3 +220,69 @@ def test_dnn_app_writes_model_and_summary(workdir):
     assert summary_path.exists()
     text = summary_path.read_text()
     assert "MultiViewCNN" in text and "total parameters:" in text
+
+
+def test_predict_app_cross_scan_arena(workdir, trained):
+    """--scan_arena: the CLI serves scans from a HIGHER-resolution arena
+    than the model was trained on (reference predict.py:34-54), and its
+    predictions match the library cross-arena predictor fed the very
+    same driver scans."""
+    import jax.numpy as jnp
+
+    from radarml_tpu.apps import predict as predict_app
+    from radarml_tpu.apps.common_cli import load_label_encoder, load_model
+    from radarml_tpu.core.arena import Arena, DEFAULT_ARENA
+    from radarml_tpu.drivers import RadarSession, SyntheticRadar
+    from radarml_tpu.models.pipeline import (
+        RadarPredictor,
+        UNKNOWN,
+        pad_targets,
+    )
+
+    arena_spec = "10,360,1,-42,42,2,-30,30,2"  # finer r and theta
+    scan_arena = Arena(r_res=1.0, theta_res=2.0)
+    assert scan_arena.grid_shape != DEFAULT_ARENA.grid_shape
+
+    results = predict_app.main(
+        [
+            "--num_scans", "4",
+            "--min_proba", "0.0",
+            "--scan_arena", arena_spec,
+            "--driver_seed", "77",
+        ]
+    )
+    assert results, "cross-arena CLI produced no classifications"
+
+    # Oracle: same seed → same synthetic scans; library predictor with
+    # scan_arena set must reproduce the CLI's outputs exactly.
+    model, calib = load_model("train-results/svm_radar_classifier.pickle")
+    le = load_label_encoder("train-results/radar_labels.pickle")
+    predictor = RadarPredictor(
+        train_arena=DEFAULT_ARENA, scan_arena=scan_arena,
+        model=model, calibration=calib, min_proba=0.0,
+    )
+    driver = SyntheticRadar(arena=scan_arena, seed=77, max_targets=2)
+    expected = []
+    with RadarSession(driver) as radar:
+        for _ in range(4):
+            radar.trigger()
+            targets = radar.get_sensor_targets()
+            if not targets:
+                continue
+            cube = radar.get_raw_image()
+            xyz, valid = pad_targets(
+                [[(t.x, t.y, t.z) for t in targets]], max_targets=4
+            )
+            pred, proba, _ = predictor(
+                jnp.asarray(cube)[None], xyz, valid
+            )
+            pred, proba = np.asarray(pred)[0], np.asarray(proba)[0]
+            for t in range(valid.shape[1]):
+                if valid[0, t]:
+                    name = ("Unknown" if pred[t] == UNKNOWN
+                            else le.classes_[int(pred[t])])
+                    expected.append((name, float(proba[t])))
+    assert len(results) == len(expected)
+    for (n1, p1), (n2, p2) in zip(results, expected):
+        assert n1 == n2
+        np.testing.assert_allclose(p1, p2, atol=1e-6)

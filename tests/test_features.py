@@ -114,3 +114,33 @@ def test_process_samples_device_matches_host():
     assert isinstance(Fb_d, jax.Array)
     np.testing.assert_array_equal(yb_h, yb_d)
     np.testing.assert_array_equal(Fb_h, np.asarray(Fb_d))
+
+
+def test_make_feature_fn_cached_across_calls():
+    """Repeated process_views calls with equal geometry reuse ONE
+    traced function (no per-call re-trace)."""
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.ops.features import FeatureSpec, make_feature_fn
+
+    spec_a = FeatureSpec.for_arena(DEFAULT_ARENA, scale=True)
+    spec_b = FeatureSpec.for_arena(DEFAULT_ARENA, scale=True)
+    assert make_feature_fn(spec_a) is make_feature_fn(spec_b)
+    spec_c = FeatureSpec.for_arena(DEFAULT_ARENA, scale=False)
+    assert make_feature_fn(spec_a) is not make_feature_fn(spec_c)
+
+
+def test_process_views_hits_feature_fn_cache():
+    import numpy as np
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.ops.features import make_feature_fn, process_views
+
+    make_feature_fn.cache_clear()
+    a = DEFAULT_ARENA
+    xz = np.zeros((2,) + a.xz_shape, np.float32)
+    yz = np.zeros((2,) + a.yz_shape, np.float32)
+    xy = np.zeros((2,) + a.xy_shape, np.float32)
+    process_views(xz, yz, xy, device=False)
+    process_views(xz, yz, xy, device=False)
+    info = make_feature_fn.cache_info()
+    assert info.misses == 1 and info.hits >= 1
