@@ -86,16 +86,21 @@ def device_latency_ms(predictor, cube1, xyz1, valid1, n_lo=64, n_hi=1024):
 
         return run
 
+    from radarml_tpu.models.pipeline import encode_int8_cubes
+
     rng = np.random.default_rng(3)
     cube_np = np.asarray(cube1, np.float32)[0]
+    if predictor.cube_dtype == "int8":
+        cube_np = cube_np + 128.0  # cube1 arrived encoded; decode
     times = {}
     for n in (n_lo, n_hi):
-        cubes_n = jnp.asarray(
-            np.rint(
-                cube_np[None] * rng.uniform(0.9, 1.1, size=(n, 1, 1, 1))
-            ).astype(np.float32),
-            dtype=jnp.dtype(predictor.cube_dtype),
-        )
+        raw = np.rint(
+            cube_np[None] * rng.uniform(0.9, 1.1, size=(n, 1, 1, 1))
+        ).astype(np.float32)
+        if predictor.cube_dtype == "int8":
+            cubes_n = encode_int8_cubes(np.clip(raw, 0, 255))
+        else:
+            cubes_n = jnp.asarray(raw, dtype=jnp.dtype(predictor.cube_dtype))
         chain = make_chain(n)
         _ = jax.device_get(chain(cubes_n, xyz1, valid1))  # compile
         reps = []
@@ -162,6 +167,10 @@ def main():
         "fast": RadarPredictor(mode="fast", **kw),
         "fast_bf16": RadarPredictor(mode="fast", cube_dtype="bfloat16", **kw),
         "fast_u8": RadarPredictor(mode="fast", cube_dtype="uint8", **kw),
+        # int8 wire format (value-128) scored by error-compensated
+        # quantized templates as s8xs8->s32 MXU dots — the fastest
+        # measured stream (benchmarks/contraction_probe.py).
+        "fast_i8": RadarPredictor(mode="fast", cube_dtype="int8", **kw),
         "pallas": RadarPredictor(mode="pallas", cube_dtype="bfloat16", **kw),
     }
 
@@ -174,11 +183,18 @@ def main():
     xyz = jax.device_put(xyz_np)
     valid = jax.device_put(valid_np)
 
+    from radarml_tpu.models.pipeline import encode_int8_cubes
+
+    def put_cubes(arr, predictor):
+        if predictor.cube_dtype == "int8":
+            return jax.device_put(encode_int8_cubes(arr))
+        return jax.device_put(
+            jnp.asarray(arr, dtype=jnp.dtype(predictor.cube_dtype))
+        )
+
     rates = {}
     for name, predictor in predictors.items():
-        cubes = jax.device_put(
-            jnp.asarray(cubes_np, dtype=jnp.dtype(predictor.cube_dtype))
-        )
+        cubes = put_cubes(cubes_np, predictor)
         try:
             pred, best_p, _ = predictor(cubes, xyz, valid)  # warmup/compile
             _ = jax.device_get(pred[:1])
@@ -203,9 +219,7 @@ def main():
     predictor = predictors[best_mode]
 
     # --- single-scan p50 latency (end-to-end, includes dispatch) --------
-    cubes1 = jax.device_put(
-        jnp.asarray(cubes_np[:1], dtype=jnp.dtype(predictor.cube_dtype))
-    )
+    cubes1 = put_cubes(cubes_np[:1], predictor)
     x1, v1 = xyz[:1], valid[:1]
     out = predictor(cubes1, x1, v1)
     _ = jax.device_get(out[0])

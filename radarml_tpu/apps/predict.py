@@ -57,11 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_targets", type=int, default=4)
     p.add_argument("--log_file", type=str, default="predict.log")
     p.add_argument("--cube_dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16", "uint8"],
-                   help="device dtype of the scan stream; bfloat16/uint8 "
-                        "are lossless for 8-bit radar data and cut "
-                        "host-link + HBM traffic 2x/4x (use with "
-                        "--mode fast; uint8 truncates non-integer cubes)")
+                   choices=["float32", "bfloat16", "uint8", "int8"],
+                   help="device dtype of the scan stream; bfloat16/uint8/"
+                        "int8 are lossless for 8-bit radar data and cut "
+                        "host-link + HBM traffic 2x/4x/4x (use with "
+                        "--mode fast; int8 additionally scores via "
+                        "quantized s8 MXU templates, the fastest "
+                        "measured path; uint8/int8 truncate non-integer "
+                        "cubes)")
     p.add_argument("--mode", type=str, default="exact",
                    choices=["exact", "fast", "pallas"],
                    help="scoring path: exact reference math, folded "

@@ -45,11 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default="train-results/radar_labels.pickle")
     p.add_argument("--min_proba", type=float, default=0.7)
     p.add_argument("--cube_dtype", type=str, default="bfloat16",
-                   choices=["float32", "bfloat16", "uint8"],
-                   help="device dtype of the scan stream; bfloat16/uint8 "
-                        "are lossless for 8-bit radar data and cut "
-                        "host-link + HBM traffic 2x/4x (uint8 truncates "
-                        "non-integer cubes)")
+                   choices=["float32", "bfloat16", "uint8", "int8"],
+                   help="device dtype of the scan stream; bfloat16/uint8/"
+                        "int8 are lossless for 8-bit radar data and cut "
+                        "host-link + HBM traffic 2x/4x/4x (int8 scores "
+                        "via quantized s8 MXU templates, the fastest "
+                        "measured path; uint8/int8 truncate non-integer "
+                        "cubes)")
     p.add_argument("--mode", type=str, default="fast",
                    choices=["exact", "fast", "pallas"])
     p.add_argument("--duration", type=float, default=10.0,

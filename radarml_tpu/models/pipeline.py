@@ -39,6 +39,27 @@ from radarml_tpu.models.linear import (
 UNKNOWN = -1  # prediction index when below min_proba (the "Unknown" label)
 
 
+def encode_int8_cubes(cubes):
+    """Encode raw 0..255 scan cubes as the int8 wire format (value-128).
+
+    Lossless for integer-valued radar data; uint8 input converts with a
+    zero-copy xor-msb reinterpret on host. Already-int8 input passes
+    through (a native driver can emit the shifted form directly).
+    """
+    if isinstance(cubes, np.ndarray):
+        if cubes.dtype == np.int8:
+            return jnp.asarray(cubes)
+        if cubes.dtype == np.uint8:
+            return jnp.asarray((cubes ^ np.uint8(0x80)).view(np.int8))
+        return jnp.asarray(
+            (np.asarray(cubes, np.int16) - 128).astype(np.int8)
+        )
+    cubes = jnp.asarray(cubes)
+    if cubes.dtype == jnp.int8:
+        return cubes
+    return (cubes.astype(jnp.int16) - 128).astype(jnp.int8)
+
+
 @dataclasses.dataclass(frozen=True)
 class NeuralClassifier:
     """Serving wrapper for the neural families (CNN / SGAN classifier).
@@ -78,21 +99,23 @@ class RadarPredictor:
     # Device dtype of the scan-cube stream. Radar cubes are 8-bit
     # sensor data (reference predict.py:90-91 GetRawImage yields
     # 0..255), and every such value is exactly representable in
-    # bfloat16 AND uint8 — so both narrow dtypes are lossless on real
-    # scans (the f32 cast fuses into the scoring contractions).
+    # bfloat16, uint8 AND (shifted by -128) int8 — so all three narrow
+    # dtypes are lossless on real scans.
     # "bfloat16" halves HBM/host-link traffic vs f32; "uint8" quarters
-    # the host-link bytes and is the fastest measured fast-path stream
-    # (the device-side win over bf16 is modest because the contraction
-    # goes compute-bound below ~2 B/element, but ingest bandwidth —
-    # the serving bottleneck behind a host link — scales with bytes).
-    # uint8 truncates: only use it for integer-valued 0..255 cubes.
-    # Keep "float32" for arbitrary continuous inputs.
-    cube_dtype: str = "float32"  # "float32" | "bfloat16" | "uint8"
+    # the host-link bytes with the f32 cast fused into a VPU reduction
+    # (which goes compute-bound at ~165 GB/s, benchmarks/
+    # contraction_probe.py); "int8" carries value-128 on the wire and
+    # scores with error-compensated int8 templates as s8xs8->s32 MXU
+    # dots — the fastest measured stream (~1.75x uint8; the -128 shift
+    # folds into the intercept, so it is as lossless as uint8).
+    # uint8/int8 truncate: only use them for integer-valued 0..255
+    # cubes. Keep "float32" for arbitrary continuous inputs.
+    cube_dtype: str = "float32"  # "float32"|"bfloat16"|"uint8"|"int8"
 
     def __post_init__(self):
-        if self.mode == "pallas" and self.cube_dtype == "uint8":
-            # Mosaic has no u8 tiled-load path here; the fast mode is
-            # the throughput default anyway.
+        if self.mode == "pallas" and self.cube_dtype in ("uint8", "int8"):
+            # Mosaic has no 1-byte tiled-load path here; the fast mode
+            # is the throughput default anyway.
             raise ValueError("pallas mode supports float32/bfloat16 streams")
         is_linear = type(self.model).__name__ == "LinearModel"
         if type(self.model).__name__ == "NeuralClassifier":
@@ -155,6 +178,48 @@ class RadarPredictor:
             off += size
         return out
 
+    def _quantized_split_templates(self):
+        """Per-plane error-compensated int8 templates + scales.
+
+        For each plane template t (C, H, W): a coarse per-class int8
+        quantization q1 = rint(t/s1) with s1 = max|t_c|/127, and a
+        second int8 pass q2 over the residual r = t - s1*q1 with
+        s2 = max|r_c|/127 — so ⟨t, x⟩ ≈ s1⟨q1, x⟩ + s2⟨q2, x⟩ with
+        per-element error ≤ s2/2 ≈ max|t|/32k (empirically ~1e-5
+        relative on decisions; the bf16x2 trick of ops/pallas_score
+        applied to int arithmetic). q1 and q2 CONCATENATE on the class
+        axis: one (2C, H, W) operand means one s8xs8->s32 MXU dot and
+        ONE cube read per plane — the compensation is free, because
+        this contraction is HBM-bound, not MXU-bound
+        (benchmarks/contraction_probe.py).
+
+        Also returns const_c = 128*Σt: int8 cubes carry value-128, and
+        ⟨t, u⟩ = ⟨t, u-128⟩ + 128Σt folds the shift into a per-class
+        constant.
+        """
+        outs = []
+        for t in self._split_templates():
+            if t is None:
+                outs.append(None)
+                continue
+            t = np.asarray(t, np.float64)
+            a1 = np.abs(t).max(axis=(1, 2))
+            s1 = np.where(a1 > 0, a1 / 127.0, 1.0)
+            q1 = np.rint(t / s1[:, None, None])
+            r = t - q1 * s1[:, None, None]
+            a2 = np.abs(r).max(axis=(1, 2))
+            s2 = np.where(a2 > 0, a2 / 127.0, 1.0)
+            q2 = np.rint(r / s2[:, None, None])
+            outs.append(
+                (
+                    jnp.asarray(np.concatenate([q1, q2]).astype(np.int8)),
+                    jnp.asarray(s1, jnp.float32),
+                    jnp.asarray(s2, jnp.float32),
+                    jnp.asarray(128.0 * t.sum(axis=(1, 2)), jnp.float32),
+                )
+            )
+        return outs
+
     def _build_folded(self) -> Callable:
         """Template-contraction scoring: per-target cost is 3 lookups.
 
@@ -165,8 +230,18 @@ class RadarPredictor:
         (similarly M2[c, i] for yz and M3[c, k] for xy). Three einsums
         per scan replace all per-target slicing/matvecs; the number of
         targets becomes free.
+
+        With cube_dtype="int8" the einsums run as s8xs8->s32 MXU dots
+        against quantized templates (see _quantized_split_templates):
+        ~1.75x the uint8 VPU path on a v5e, at the HBM roofline for
+        this 3-contraction formulation.
         """
         scan = self.scan_arena
+        int8 = self.cube_dtype == "int8"
+        if int8:
+            quant = self._quantized_split_templates()
+        else:
+            quant = None
         t_xz, t_yz, t_xy = self._split_templates()
         intercept = self.model.intercept
         calib = self.calibration
@@ -181,19 +256,35 @@ class RadarPredictor:
             )
         )
 
+        def table(plane_i, t, cubes, spec):
+            """One plane's (B, C, ·) lookup table."""
+            if not int8:
+                return jnp.einsum(spec, t, cubes, precision=p)
+            q, s1, s2, const = quant[plane_i]
+            raw = jnp.einsum(
+                spec, q, cubes, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            C = s1.shape[0]
+            return (
+                raw[:, :C] * s1[None, :, None]
+                + raw[:, C:] * s2[None, :, None]
+                + const[None, :, None]
+            )
+
         @jax.jit
         def predict_batch(cubes, target_xyz, target_valid):
             B, T = target_xyz.shape[:2]
-            # bf16-ingested cubes widen here; XLA fuses the cast into
-            # the reduction loops, so the stream is read once at the
-            # narrow width (the ~2.3× win measured in bench.py).
-            cubes = cubes.astype(jnp.float32)
+            if not int8:
+                # bf16/u8-ingested cubes widen here; XLA fuses the cast
+                # into the reduction loops, so the stream is read once
+                # at the narrow width (the win measured in bench.py).
+                cubes = cubes.astype(jnp.float32)
             ijk = idx_fn(target_xyz)  # (B, T, 3) int32
             dec = jnp.broadcast_to(
                 intercept[None, None, :], (B, T, intercept.shape[0])
             )
             if t_xz is not None:
-                M1 = jnp.einsum("cxz,bxyz->bcy", t_xz, cubes, precision=p)
+                M1 = table(0, t_xz, cubes, "cxz,bxyz->bcy")
                 dec = dec + jnp.take_along_axis(
                     # (B,1,C,·) broadcasts against (B,T,1,1) indices —
                     # no materialized T-fold repeat of the tables.
@@ -202,7 +293,7 @@ class RadarPredictor:
                     axis=3,
                 )[..., 0]
             if t_yz is not None:
-                M2 = jnp.einsum("cyz,bxyz->bcx", t_yz, cubes, precision=p)
+                M2 = table(1, t_yz, cubes, "cyz,bxyz->bcx")
                 dec = dec + jnp.take_along_axis(
                     # (B,1,C,·) broadcasts against (B,T,1,1) indices —
                     # no materialized T-fold repeat of the tables.
@@ -211,7 +302,7 @@ class RadarPredictor:
                     axis=3,
                 )[..., 0]
             if t_xy is not None:
-                M3 = jnp.einsum("cxy,bxyz->bcz", t_xy, cubes, precision=p)
+                M3 = table(2, t_xy, cubes, "cxy,bxyz->bcz")
                 dec = dec + jnp.take_along_axis(
                     # (B,1,C,·) broadcasts against (B,T,1,1) indices —
                     # no materialized T-fold repeat of the tables.
@@ -317,9 +408,11 @@ class RadarPredictor:
         if is_svc:
             from radarml_tpu.models import svc as _svc
         p = jax.lax.Precision.HIGHEST
+        # int8 wire format carries value-128; decode restores 0..255.
+        shift = 128.0 if self.cube_dtype == "int8" else 0.0
 
         def per_target(cube, xyz):
-            cube = cube.astype(jnp.float32)
+            cube = cube.astype(jnp.float32) + shift
             i, j, k = scan.clamped_matrix_indices(xyz[0], xyz[1], xyz[2])
             yz = jax.lax.dynamic_index_in_dim(cube, i, axis=0, keepdims=False)
             xz = jax.lax.dynamic_index_in_dim(cube, j, axis=1, keepdims=False)
@@ -371,6 +464,8 @@ class RadarPredictor:
         min_proba = self.min_proba
         half = RADAR_MAX / 2.0
         p = jax.lax.Precision.HIGHEST
+        # int8 wire format carries value-128; decode restores 0..255.
+        shift = 128.0 if self.cube_dtype == "int8" else 0.0
         mats = []
         for shape in (scan.xz_shape, scan.yz_shape, scan.xy_shape):
             r, c = bicubic_pair(tuple(shape), tuple(model.rescale))
@@ -379,7 +474,7 @@ class RadarPredictor:
             )
 
         def per_target(cube, xyz):
-            cube = cube.astype(jnp.float32)
+            cube = cube.astype(jnp.float32) + shift
             i, j, k = scan.clamped_matrix_indices(xyz[0], xyz[1], xyz[2])
             yz = jax.lax.dynamic_index_in_dim(cube, i, axis=0, keepdims=False)
             xz = jax.lax.dynamic_index_in_dim(cube, j, axis=1, keepdims=False)
@@ -428,7 +523,10 @@ class RadarPredictor:
             (pred, best_proba, proba): (B, T) int32 class index or
             UNKNOWN; (B, T) best probability; (B, T, C) full matrix.
         """
-        cubes = jnp.asarray(cubes, dtype=jnp.dtype(self.cube_dtype))
+        if self.cube_dtype == "int8":
+            cubes = encode_int8_cubes(cubes)
+        else:
+            cubes = jnp.asarray(cubes, dtype=jnp.dtype(self.cube_dtype))
         target_xyz = jnp.asarray(target_xyz, dtype=jnp.float32)
         if target_valid is None:
             target_valid = jnp.ones(target_xyz.shape[:2], dtype=bool)

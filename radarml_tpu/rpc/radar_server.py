@@ -36,7 +36,7 @@ SERVICE_NAME = "radar_serving.RadarServing"
 
 logger = logging.getLogger(__name__)
 
-_DTYPES = {"uint8": np.uint8, "float32": np.float32}
+_DTYPES = {"uint8": np.uint8, "float32": np.float32, "int8": np.int8}
 
 
 class RadarServingError(RuntimeError):
@@ -194,6 +194,11 @@ class RadarServingServer:
                 f"cube bytes ({cube.size}) do not match shape {shape}",
             )
         cube = cube.reshape(shape).astype(np.float32)
+        if dt is np.int8:
+            # int8 wire format carries value-128 (models/pipeline
+            # encode_int8_cubes); restore the canonical 0..255 range —
+            # the predictor re-encodes if ITS stream dtype is int8.
+            cube += 128.0
 
         n = min(len(request.targets), self._max_targets)
         xyz = np.zeros((self._max_targets, 3), np.float32)
@@ -455,6 +460,12 @@ class RadarServingClient:
         arr = np.ascontiguousarray(cube)
         if dtype == "uint8":
             arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+        elif dtype == "int8":
+            # Wire format: value-128 (see models/pipeline
+            # encode_int8_cubes). Same 1 B/voxel as uint8.
+            if arr.dtype != np.int8:
+                u8 = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+                arr = (u8 ^ np.uint8(0x80)).view(np.int8)
         else:
             arr = arr.astype(np.float32)
         req = pb.ScanRequest(

@@ -445,3 +445,111 @@ def test_fast_mode_with_masked_projection_matches_exact(rng):
     _, _, pe = exact(cubes, xyz, valid)
     _, _, pf = fast(cubes, xyz, valid)
     np.testing.assert_allclose(np.asarray(pe), np.asarray(pf), atol=2e-5)
+
+
+def test_fast_int8_quantized_ingest_matches_f32(rng):
+    """int8 wire format (value-128, lossless for 0..255 radar data)
+    scored by error-compensated s8xs8->s32 quantized templates ==
+    f32 fast path to ~1e-4 proba; uint8/float32/int8 inputs all encode
+    to the identical device stream."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+    from radarml_tpu.models.pipeline import RadarPredictor, encode_int8_cubes
+
+    n_classes = 3
+    F = DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(n_classes, F)) * 0.01, jnp.float32),
+        intercept=jnp.asarray(rng.normal(size=(n_classes,)), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((n_classes,), jnp.float32),
+        b=jnp.zeros((n_classes,), jnp.float32),
+    )
+    kw = dict(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib, min_proba=0.5,
+    )
+    f32 = RadarPredictor(mode="fast", **kw)
+    i8 = RadarPredictor(mode="fast", cube_dtype="int8", **kw)
+    with pytest.raises(ValueError):
+        RadarPredictor(mode="pallas", cube_dtype="int8", **kw)
+
+    B, T = 4, 3
+    cubes = np.rint(rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255).astype(
+        np.float32
+    )
+    xyz = jnp.asarray(rng.uniform(-30, 30, size=(B, T, 3)), jnp.float32)
+    xyz = xyz.at[..., 2].set(jnp.abs(xyz[..., 2]) + 60.0)
+    valid = jnp.ones((B, T), dtype=bool)
+
+    pf, _, proba_f = f32(cubes, xyz, valid)
+    pi, _, proba_i = i8(cubes, xyz, valid)
+    np.testing.assert_allclose(
+        np.asarray(proba_i), np.asarray(proba_f), atol=2e-4
+    )
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(pf))
+
+    # Encoding equivalence across input dtypes (u8 path is a zero-copy
+    # xor reinterpret; already-int8 passes through untouched).
+    enc_f = np.asarray(encode_int8_cubes(cubes))
+    enc_u = np.asarray(encode_int8_cubes(cubes.astype(np.uint8)))
+    enc_i = np.asarray(encode_int8_cubes(enc_f))
+    np.testing.assert_array_equal(enc_f, enc_u)
+    np.testing.assert_array_equal(enc_f, enc_i)
+    assert enc_f.dtype == np.int8
+
+
+def test_int8_ingest_exact_and_neural_modes_decode(rng):
+    """exact mode and the neural serving path both decode the int8
+    wire shift, matching their f32 results bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.models.linear import LinearModel
+    from radarml_tpu.models.pipeline import NeuralClassifier, RadarPredictor
+
+    n_classes = 3
+    F = DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(n_classes, F)) * 0.01, jnp.float32),
+        intercept=jnp.zeros((n_classes,), jnp.float32),
+    )
+    B, T = 2, 2
+    cubes = np.rint(rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255).astype(
+        np.float32
+    )
+    xyz = jnp.asarray(rng.uniform(-20, 20, size=(B, T, 3)), jnp.float32)
+    xyz = xyz.at[..., 2].set(jnp.abs(xyz[..., 2]) + 60.0)
+    valid = jnp.ones((B, T), dtype=bool)
+
+    kw = dict(train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+              model=model, min_proba=0.0)
+    for mode in ("exact",):
+        a = RadarPredictor(mode=mode, **kw)
+        b = RadarPredictor(mode=mode, cube_dtype="int8", **kw)
+        _, _, pa = a(cubes, xyz, valid)
+        _, _, pb = b(cubes, xyz, valid)
+        np.testing.assert_allclose(
+            np.asarray(pb), np.asarray(pa), atol=1e-6
+        )
+
+    w = jnp.asarray(rng.normal(size=(10 * 10 * 3, n_classes)) * 0.1,
+                    jnp.float32)
+    nc = NeuralClassifier(
+        apply=lambda v: v.reshape(v.shape[0], -1) @ w,
+        rescale=(10, 10), n_classes=n_classes,
+    )
+    kn = dict(train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+              model=nc, min_proba=0.0)
+    a = RadarPredictor(**kn)
+    b = RadarPredictor(cube_dtype="int8", **kn)
+    _, _, pa = a(cubes, xyz, valid)
+    _, _, pb = b(cubes, xyz, valid)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(pa), atol=1e-5)

@@ -389,3 +389,22 @@ def test_stop_drains_inflight_batched_requests():
         assert not t.is_alive(), "Classify handler hung across stop()"
     assert len(outcomes) == 4
     client.close()
+
+
+def test_int8_wire_transport_matches_uint8(served):
+    """int8 ScanRequest (value-128 wire format) produces the same
+    detections as the uint8 transport of the same cube."""
+    predictor, server, client = served
+    rng = np.random.default_rng(4)
+    cube = np.rint(
+        rng.random(DEFAULT_ARENA.grid_shape) * 255
+    ).astype(np.float32)
+    targets = [(2.0, -4.0, 120.0)]
+    d_u8 = client.classify(cube, targets, dtype="uint8")
+    d_i8 = client.classify(cube, targets, dtype="int8")
+    assert len(d_i8) == len(d_u8) == 1
+    np.testing.assert_allclose(
+        np.asarray(d_i8[0].class_probas),
+        np.asarray(d_u8[0].class_probas), atol=1e-6,
+    )
+    assert d_i8[0].label == d_u8[0].label
