@@ -48,6 +48,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--mesh", type=int, default=0,
                    help="shard training over an N-device mesh")
+    p.add_argument("--checkpoint_dir", type=str, default="",
+                   help="write orbax checkpoints every "
+                        "--checkpoint_every epochs during training "
+                        "(the reference's ModelCheckpoint durability, "
+                        "dnn.py:365-370); training still runs as fused "
+                        "device chunks")
+    p.add_argument("--checkpoint_every", type=int, default=10,
+                   help="epochs per fused chunk between checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in "
+                        "--checkpoint_dir; reproduces the "
+                        "uninterrupted run exactly")
     add_common_flags(p)
     return p
 
@@ -116,6 +128,9 @@ def main(argv=None) -> dict:
         model, params,
         pre["X_train"], pre["y_train"], pre["X_val"], pre["y_val"],
         w_classes=pre["w_classes"], config=cfg, mesh=mesh,
+        checkpoint_dir=args.checkpoint_dir or None,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
 
     out_path = os.path.join(args.results_dir, "c_model.pickle")

@@ -66,9 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured path; uint8/int8 truncate non-integer "
                         "cubes)")
     p.add_argument("--mode", type=str, default="exact",
-                   choices=["exact", "fast", "pallas"],
-                   help="scoring path: exact reference math, folded "
-                        "templates, or the fused Pallas kernel")
+                   choices=["exact", "fast"],
+                   help="scoring path: exact reference math or folded "
+                        "templates (identical detections; fast is "
+                        "strictly faster). The Pallas kernel mode "
+                        "remains a library/bench reference "
+                        "(RadarPredictor(mode='pallas')) but is "
+                        "dominated by fast on every dtype, so it is "
+                        "not a serving option")
     p.add_argument("--derived_targets", action="store_true",
                    help="derive targets from the raw cube on-device "
                         "instead of trusting the sensor's reports (the "

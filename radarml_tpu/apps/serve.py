@@ -53,7 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured path; uint8/int8 truncate non-integer "
                         "cubes)")
     p.add_argument("--mode", type=str, default="fast",
-                   choices=["exact", "fast", "pallas"])
+                   choices=["exact", "fast"],
+                   help="scoring path (identical detections; fast is "
+                        "strictly faster; the dominated Pallas kernel "
+                        "is library/bench-only)")
     p.add_argument("--duration", type=float, default=10.0,
                    help="seconds to serve (0 = until interrupted)")
     p.add_argument("--max_batch", type=int, default=64)
@@ -193,11 +196,8 @@ def main(argv=None) -> dict:
     if args.export_serving:
         from radarml_tpu.serving import export_predictor
 
-        # The Pallas kernel only lowers for the backend it was built
-        # against; the XLA modes export portably for both.
-        platforms = None if args.mode == "pallas" else ("tpu", "cpu")
         export_predictor(
-            predictor, args.export_serving, platforms=platforms,
+            predictor, args.export_serving, platforms=("tpu", "cpu"),
         )
         return {"exported": args.export_serving}
 

@@ -59,8 +59,23 @@ def train_cnn(
     w_classes: Optional[Dict[int, float]] = None,
     config: TrainConfig = TrainConfig(),
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
 ) -> Tuple[dict, Dict[str, List[float]]]:
     """Train, keeping the best-val-loss parameters.
+
+    With `checkpoint_dir`, the fused run executes as chunks of
+    `checkpoint_every` epochs (still one device dispatch per chunk),
+    writing an orbax checkpoint — best params, live params, optimizer
+    state, epoch counter, early-stop state, history — between chunks.
+    That restores the reference's ModelCheckpoint durability
+    (dnn.py:365-370 writes c_model.h5 on every improvement): a crash at
+    epoch 99/100 loses at most `checkpoint_every-1` epochs instead of
+    the whole run. `resume=True` continues from the latest checkpoint
+    and, because the permutation table and the per-epoch dropout
+    streams both derive from `config.seed` and the ABSOLUTE epoch
+    index, reproduces the uninterrupted run exactly (tested).
 
     Returns:
         (best_params, history) where history has per-epoch loss,
@@ -126,8 +141,12 @@ def train_cnn(
     # constants, which bloats the program by the full dataset size
     # (hundreds of MB at reference scale — measured to overflow a
     # remote-compile transport, and slow to compile anywhere).
+    # `epoch_end` is a traced scalar and the live epoch rides in the
+    # carry, so ONE compiled program runs the whole fused schedule
+    # (no checkpointing) or any K-epoch chunk of it (mid-run
+    # checkpoints) without retracing.
     @jax.jit
-    def run(params, opt_state, Xd, yd, Xv, yv, perms):
+    def run(carry_in, epoch_end, Xd, yd, Xv, yv, perms):
         def one_batch(carry, batch_idx):
             params, opt_state, key = carry
             xb = jnp.take(Xd, batch_idx, axis=0)
@@ -197,24 +216,69 @@ def train_cnn(
 
         def keep_going(carry):
             epoch, stale = carry[2], carry[5]
-            return (epoch < E) & (stale < patience)
+            return (epoch < epoch_end) & (stale < patience)
 
-        hist0 = jnp.full((E, 4), jnp.nan, jnp.float32)
-        carry = (
-            params, opt_state, jnp.int32(0), params,
-            jnp.float32(jnp.inf), jnp.int32(0), hist0,
-        )
-        out = jax.lax.while_loop(keep_going, epoch_body, carry)
-        return out[3], out[2], out[6]
+        return jax.lax.while_loop(keep_going, epoch_body, carry_in)
 
-    t0 = time.perf_counter()
-    best_params, epochs_run_d, hist_d = run(
-        params, opt_state, Xd, yd, Xv, yv, perms
+    hist0 = jnp.full((E, 4), jnp.nan, jnp.float32)
+    carry = (
+        params, opt_state, jnp.int32(0), params,
+        jnp.float32(jnp.inf), jnp.int32(0), hist0,
     )
-    # One fetch for the whole run's metrics.
-    epochs_run, hist = jax.device_get((epochs_run_d, hist_d))
+
+    store = None
+    if checkpoint_dir is not None:
+        from radarml_tpu.train.checkpoint import CheckpointStore
+
+        store = CheckpointStore(checkpoint_dir)
+        if resume:
+            try:
+                step, tree, meta = store.restore(
+                    template={"carry": carry}
+                )
+                carry = tuple(tree["carry"])
+                # The checkpointed run may have had a different total
+                # epoch budget; re-shape its history to this run's E.
+                h = np.asarray(carry[6])
+                if h.shape[0] != E:
+                    h2 = np.full((E, 4), np.nan, np.float32)
+                    h2[: min(E, h.shape[0])] = h[:E]
+                    carry = (*carry[:6], jnp.asarray(h2))
+                logger.info(
+                    "resumed CNN training at epoch %d from %s",
+                    int(carry[2]), checkpoint_dir,
+                )
+            except FileNotFoundError:
+                logger.info(
+                    "no checkpoint in %s; starting fresh", checkpoint_dir
+                )
+
+    chunk = E if store is None else max(int(checkpoint_every), 1)
+    t0 = time.perf_counter()
+    while True:
+        # Only the two loop-control scalars cross to host per chunk;
+        # params/optimizer/history stay device-resident (a checkpoint
+        # save fetches them, but that's the durability trade-off).
+        epoch_now, stale_now = (
+            int(v) for v in jax.device_get((carry[2], carry[5]))
+        )
+        if epoch_now >= E or stale_now >= patience:
+            break
+        epoch_end = min(epoch_now + chunk, E)
+        carry = run(carry, jnp.int32(epoch_end), Xd, yd, Xv, yv, perms)
+        if store is not None:
+            store.save(
+                int(jax.device_get(carry[2])),
+                {"carry": carry},
+                meta={"epochs": E, "seed": config.seed,
+                      "batch_size": bs, "patience": patience},
+            )
+    best_params = carry[3]
+    epochs_run, hist = jax.device_get((carry[2], carry[6]))
     epochs_run = int(epochs_run)
     wall = time.perf_counter() - t0
+    if store is not None:
+        store.close()
 
     history: Dict[str, List[float]] = {
         "loss": [float(v) for v in hist[:epochs_run, 0]],
@@ -231,8 +295,8 @@ def train_cnn(
     if epochs_run < E:
         logger.info("early stopping at epoch %d", epochs_run)
     logger.info(
-        "%d epochs in %.2fs (%.3fs/epoch, one fused dispatch)",
-        epochs_run, wall, wall / max(epochs_run, 1),
+        "%d epochs in %.2fs (%.3fs/epoch, fused dispatches of %d epochs)",
+        epochs_run, wall, wall / max(epochs_run, 1), chunk,
     )
 
     metric_key = "val_loss" if has_val else "loss"

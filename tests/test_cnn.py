@@ -135,3 +135,48 @@ def test_patience_zero_trains_and_stops_at_first_plateau():
     cfg = TrainConfig(batch_size=8, epochs=50, patience=0)
     best, history = train_cnn(model, params, X, y, X, y, config=cfg)
     assert 1 <= len(history["loss"]) <= 50
+
+
+def test_checkpoint_kill_and_resume_reproduces_uninterrupted_run(tmp_path):
+    """A run checkpointed mid-training and resumed reproduces the
+    uninterrupted run's best params and history exactly (the
+    reference's ModelCheckpoint durability, dnn.py:365-370, plus true
+    resume which Keras lacks)."""
+    rng = np.random.default_rng(3)
+    rescale = (16, 16)
+    n = 36
+    y = (np.arange(n) % 3).astype(np.int64)
+    X = rng.normal(size=(n,) + rescale + (3,)).astype(np.float32) * 0.1
+    for c in range(3):
+        X[y == c, :, :, c] += 1.0
+    Xv, yv = X[:12], y[:12]
+    model, params = _init(rescale=rescale)
+    cfg = TrainConfig(batch_size=12, epochs=12, patience=50)
+
+    best_full, hist_full = train_cnn(
+        model, params, X, y, Xv, yv, config=cfg
+    )
+
+    # "Crash" at epoch 8: run only 8 epochs with checkpoints...
+    ckpt = str(tmp_path / "cnn_ckpt")
+    cfg8 = TrainConfig(batch_size=12, epochs=8, patience=50)
+    train_cnn(
+        model, params, X, y, Xv, yv, config=cfg8,
+        checkpoint_dir=ckpt, checkpoint_every=4,
+    )
+    # ...then resume the 12-epoch schedule from the latest checkpoint.
+    best_res, hist_res = train_cnn(
+        model, params, X, y, Xv, yv, config=cfg,
+        checkpoint_dir=ckpt, checkpoint_every=4, resume=True,
+    )
+
+    for k in hist_full:
+        np.testing.assert_allclose(
+            hist_res[k], hist_full[k], rtol=1e-5, atol=1e-6,
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        best_res, best_full,
+    )
