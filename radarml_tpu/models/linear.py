@@ -373,32 +373,46 @@ def sgd_fit(
 
     With `state` given this is the online-learning / partial_fit path
     (reference train.py:409-416); otherwise a fresh fit. `epochs`
-    defaults to the sklearn heuristic max(1e6/n, 1000) capped to a
-    practical bound since each epoch is a full jitted scan.
+    defaults to the UNCAPPED sklearn heuristic max(1e6/n, 1000) —
+    exactly the reference's online-learning iteration count
+    (train.py:414). All epochs fuse into a handful of device
+    dispatches (a `lax.scan` over a host-precomputed permutation
+    table, chunked only to bound the table's memory), so the full
+    heuristic is a wall-clock matter of seconds at reference scale
+    rather than thousands of per-epoch dispatches.
     """
     X = jnp.asarray(X, dtype=jnp.float32)
     y = jnp.asarray(y, dtype=jnp.int32)
     n = X.shape[0]
     if epochs is None:
-        epochs = int(min(max(np.ceil(10**6 / n), 5), 300))
+        epochs = int(max(np.ceil(10**6 / n), 1000))
     if state is None:
         state = sgd_init(n_classes, X.shape[1], cfg)
-    epoch_fn = _make_epoch_fn(cfg.penalty, cfg.average, n_classes)
     l1_ratio = (
         cfg.l1_ratio if cfg.penalty == "elasticnet"
         else (1.0 if cfg.penalty == "l1" else 0.0)
     )
-    alpha = jnp.float32(cfg.alpha)
-    l1r = jnp.float32(l1_ratio)
-    t0 = jnp.float32(_init_t(cfg.alpha))
+    fused = _make_many_epochs_fn(cfg.penalty, cfg.average, n_classes)
+    state1 = jax.tree.map(lambda a: jnp.asarray(a)[None], state)
+    a1 = jnp.asarray([cfg.alpha], jnp.float32)
+    l1r1 = jnp.asarray([l1_ratio], jnp.float32)
+    t01 = jnp.asarray([_init_t(cfg.alpha)], jnp.float32)
     rng = np.random.default_rng(seed)
-    for _ in range(epochs):
+    # Chunk the permutation table to ≤ ~64M indices so huge datasets
+    # with the 1000-epoch heuristic never build a multi-GB table.
+    max_rows = max(1, int(64_000_000 // max(n, 1)))
+    done = 0
+    while done < epochs:
+        k = min(epochs - done, max_rows)
         if shuffle:
-            perm = jnp.asarray(rng.permutation(n))
-            state = epoch_fn(state, X[perm], y[perm], alpha, l1r, t0)
+            perms = np.stack([rng.permutation(n) for _ in range(k)])
         else:
-            state = epoch_fn(state, X, y, alpha, l1r, t0)
-    return state
+            perms = np.broadcast_to(np.arange(n), (k, n))
+        state1 = fused(
+            state1, X, y, jnp.asarray(perms, jnp.int32), a1, l1r1, t01
+        )
+        done += k
+    return jax.tree.map(lambda a: a[0], state1)
 
 
 def sgd_model(state: SGDState, cfg: SGDConfig) -> LinearModel:
