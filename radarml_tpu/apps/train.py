@@ -47,10 +47,38 @@ logger = logging.getLogger(__name__)
 RANDOM_SEED = 1234
 
 
+def dump_augmented(dir_: str, epoch: int, views, y, batch_size: int = 32):
+    """Write augmented batches as reference-format pickles.
+
+    The reference's DataGenerator.flow(save_to_dir=..., save_prefix=...)
+    writes {'x_batch': ..., 'y_batch': ...} pickles named
+    batch_{batch}_{pos}.pickle, one per batch-size chunk
+    (train.py:58-67, 209-212). Same schema here — x_batch is a list of
+    (xz, yz, xy) projection tuples in [0, 1], y_batch the label array.
+    (The reference pickles the pre-augment slice despite its
+    docstring's stated intent; this dump saves the augmented data,
+    which is the useful thing to inspect.)
+    """
+    os.makedirs(dir_, exist_ok=True)
+    xz, yz, xy = (np.asarray(v) for v in views)
+    y = np.asarray(y)
+    for pos in range(0, len(y), batch_size):
+        end = min(pos + batch_size, len(y))
+        x_batch = [(xz[i], yz[i], xy[i]) for i in range(pos, end)]
+        with open(
+            os.path.join(dir_, f"batch_{epoch}_{pos}.pickle"), "wb"
+        ) as fp:
+            pickle.dump({"x_batch": x_batch, "y_batch": y[pos:end]}, fp)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--epochs", type=int, default=0,
                    help="number of augmentation epochs")
+    p.add_argument("--save_augmented", type=str, default="",
+                   help="directory to dump augmented batches as "
+                        "reference-format batch_{epoch}_{pos}.pickle "
+                        "files for inspection (train.py:58-67,209-212)")
     p.add_argument("--datasets", nargs="+", type=str,
                    default=["datasets/radar_samples.pickle"],
                    help="paths to training datasets")
@@ -308,6 +336,8 @@ def _fit_sgd(args, proj_mask, X_train, y_train, X_test, y_test) -> dict:
                 rotation_range=5.0, zoom_range=0.2, noise_sd=0.1,
                 balance=True, device=True,
             )
+            if args.save_augmented:
+                dump_augmented(args.save_augmented, e, (axz, ayz, axy), ay)
             F_aug = process_views(
                 axz * RADAR_MAX, ayz * RADAR_MAX, axy * RADAR_MAX,
                 proj_mask=proj_mask, scale=True,
@@ -353,6 +383,8 @@ def _fit_svc(args, proj_mask, X_train, y_train) -> dict:
                 rotation_range=15.0, zoom_range=0.3, noise_sd=0.2,
                 device=True,
             )
+            if args.save_augmented:
+                dump_augmented(args.save_augmented, e, aug_views, ay)
             stacks.append(aug_views)
             ys.append(ay)
         y_train = np.concatenate(ys)

@@ -166,6 +166,37 @@ def test_train_app_augment_epochs(workdir):
     assert 0.0 <= out["metrics"]["accuracy"] <= 1.0
 
 
+def test_train_app_save_augmented_dumps_reference_schema(workdir):
+    """--save_augmented writes batch_{epoch}_{pos}.pickle files with the
+    reference DataGenerator.flow schema (train.py:58-67, 209-212):
+    {'x_batch': [(xz, yz, xy), ...] in [0, 1], 'y_batch': labels}."""
+    from radarml_tpu.apps import train as train_app
+
+    train_app.main(
+        [
+            "--synthetic", "30",
+            "--datasets", "ds_save_aug.pickle",
+            "--grid_epochs", "3",
+            "--folds", "3",
+            "--epochs", "1",
+            "--save_augmented", "aug_dump",
+        ]
+    )
+    files = sorted(os.listdir("aug_dump"))
+    assert files and all(
+        f.startswith("batch_0_") and f.endswith(".pickle") for f in files
+    )
+    with open(os.path.join("aug_dump", files[0]), "rb") as fp:
+        d = pickle.load(fp)
+    assert set(d) == {"x_batch", "y_batch"}
+    assert len(d["x_batch"]) == len(d["y_batch"]) > 0
+    views = d["x_batch"][0]
+    assert len(views) == 3
+    for v in views:
+        assert v.ndim == 2
+        assert 0.0 <= float(v.min()) and float(v.max()) <= 1.0
+
+
 def test_serve_app_streams_detections(workdir, trained):
     from radarml_tpu.apps import serve as serve_app
 
