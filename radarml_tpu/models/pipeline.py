@@ -60,6 +60,29 @@ def encode_int8_cubes(cubes):
     return (cubes.astype(jnp.int16) - 128).astype(jnp.int8)
 
 
+def encode_host_cubes(cubes: np.ndarray, cube_dtype: str) -> np.ndarray:
+    """Narrow a canonical 0..255 host cube to a stream dtype on host.
+
+    Shared by RadarPredictor.encode_host and ServingArtifact.encode_host
+    so serving layers move 1 B/voxel (2 for bf16) from ingest onward.
+    int8 output carries the value-128 wire encoding (encode_int8_cubes);
+    non-integer input truncates exactly like the device-side cast.
+    """
+    cubes = np.asarray(cubes)
+    if cube_dtype == "uint8":
+        return cubes if cubes.dtype == np.uint8 else cubes.astype(np.uint8)
+    if cube_dtype == "int8":
+        if cubes.dtype == np.int8:
+            return cubes
+        u8 = cubes if cubes.dtype == np.uint8 else cubes.astype(np.uint8)
+        return (u8 ^ np.uint8(0x80)).view(np.int8)
+    if cube_dtype == "bfloat16":
+        import ml_dtypes
+
+        return cubes.astype(ml_dtypes.bfloat16)
+    return cubes if cubes.dtype == np.float32 else cubes.astype(np.float32)
+
+
 @dataclasses.dataclass(frozen=True)
 class NeuralClassifier:
     """Serving wrapper for the neural families (CNN / SGAN classifier).
@@ -283,33 +306,31 @@ class RadarPredictor:
             dec = jnp.broadcast_to(
                 intercept[None, None, :], (B, T, intercept.shape[0])
             )
+            # Table reads as one-hot contractions rather than
+            # take_along_axis gathers: the (B,C,·)x(B,T,·) batched
+            # matmul keeps the lookup on the matrix units, worth ~12%
+            # of the whole int8 pipeline on a v5e
+            # (benchmarks/contraction_probe.py full_i8_onehot vs
+            # full_i8_gather) — same trick ops/pallas_score.py uses
+            # where Mosaic forbids dynamic indexing on tiled dims.
             if t_xz is not None:
                 M1 = table(0, t_xz, cubes, "cxz,bxyz->bcy")
-                dec = dec + jnp.take_along_axis(
-                    # (B,1,C,·) broadcasts against (B,T,1,1) indices —
-                    # no materialized T-fold repeat of the tables.
-                    M1[:, None, :, :],
-                    ijk[..., 1][:, :, None, None],
-                    axis=3,
-                )[..., 0]
+                o = jax.nn.one_hot(
+                    ijk[..., 1], M1.shape[2], dtype=jnp.float32
+                )
+                dec = dec + jnp.einsum("bcy,bty->btc", M1, o, precision=p)
             if t_yz is not None:
                 M2 = table(1, t_yz, cubes, "cyz,bxyz->bcx")
-                dec = dec + jnp.take_along_axis(
-                    # (B,1,C,·) broadcasts against (B,T,1,1) indices —
-                    # no materialized T-fold repeat of the tables.
-                    M2[:, None, :, :],
-                    ijk[..., 0][:, :, None, None],
-                    axis=3,
-                )[..., 0]
+                o = jax.nn.one_hot(
+                    ijk[..., 0], M2.shape[2], dtype=jnp.float32
+                )
+                dec = dec + jnp.einsum("bcx,btx->btc", M2, o, precision=p)
             if t_xy is not None:
                 M3 = table(2, t_xy, cubes, "cxy,bxyz->bcz")
-                dec = dec + jnp.take_along_axis(
-                    # (B,1,C,·) broadcasts against (B,T,1,1) indices —
-                    # no materialized T-fold repeat of the tables.
-                    M3[:, None, :, :],
-                    ijk[..., 2][:, :, None, None],
-                    axis=3,
-                )[..., 0]
+                o = jax.nn.one_hot(
+                    ijk[..., 2], M3.shape[2], dtype=jnp.float32
+                )
+                dec = dec + jnp.einsum("bcz,btz->btc", M3, o, precision=p)
             dec = dec.reshape(B * T, -1)
             if calib is not None:
                 proba = calibrated_from_decision(dec, calib)
@@ -505,6 +526,19 @@ class RadarPredictor:
             return pred, best_p, proba
 
         return predict_batch
+
+    def encode_host(self, cubes: np.ndarray) -> np.ndarray:
+        """Narrow a canonical 0..255 host cube to the stream dtype.
+
+        Serving loops call this at INGEST so every later stage —
+        host-side stacking/batching, the process-internal memcpy, and
+        the host→device transfer — moves 1 B/voxel (2 for bf16)
+        instead of 4. __call__ accepts the result directly: uint8/int8
+        arrays pass through its device encode untouched. Lossless for
+        integer-valued radar data (reference predict.py:90-91);
+        non-integer values truncate exactly like the device-side cast.
+        """
+        return encode_host_cubes(cubes, self.cube_dtype)
 
     def __call__(
         self,

@@ -141,15 +141,30 @@ class RadarServingServer:
                 batch.append(nxt)
             try:
                 n = len(batch)
-                cubes = np.zeros((B,) + self._grid, np.float32)
+                # Pending cubes are CANONICAL (u8 for 8-bit wires, f32
+                # otherwise) so a predictor hot-swap mid-queue can't
+                # mix encodings; stack narrow when the batch is
+                # dtype-uniform, then encode once for the (possibly
+                # just-reloaded) predictor.
+                predictor = self._predictor
+                dtypes = {p.cube.dtype for p in batch}
+                stack_dt = batch[0].cube.dtype if len(dtypes) == 1 else (
+                    np.float32
+                )
+                cubes = np.zeros((B,) + self._grid, stack_dt)
                 xyz = np.zeros((B, T, 3), np.float32)
                 valid = np.zeros((B, T), bool)
                 for i, p in enumerate(batch):
                     cubes[i] = p.cube
                     xyz[i] = p.xyz
                     valid[i] = p.valid
+                encode = getattr(predictor, "encode_host", None)
+                if encode is not None:
+                    cubes = encode(cubes)
+                elif cubes.dtype != np.float32:
+                    cubes = cubes.astype(np.float32)
                 t0 = time.perf_counter()
-                pred, best_p, proba = self._predictor(cubes, xyz, valid)
+                pred, best_p, proba = predictor(cubes, xyz, valid)
                 pred = np.asarray(pred)
                 best_p = np.asarray(best_p)
                 proba = np.asarray(proba)
@@ -193,12 +208,22 @@ class RadarServingServer:
                 grpc.StatusCode.INVALID_ARGUMENT,
                 f"cube bytes ({cube.size}) do not match shape {shape}",
             )
-        cube = cube.reshape(shape).astype(np.float32)
+        cube = cube.reshape(shape)
         if dt is np.int8:
             # int8 wire format carries value-128 (models/pipeline
-            # encode_int8_cubes); restore the canonical 0..255 range —
-            # the predictor re-encodes if ITS stream dtype is int8.
-            cube += 128.0
+            # encode_int8_cubes); recover the canonical 0..255 range
+            # with a bit view + xor — stays at 1 B/voxel.
+            cube = cube.view(np.uint8) ^ np.uint8(0x80)
+        # Canonical cubes (u8 for 8-bit wires, f32 otherwise) narrow to
+        # the predictor's stream dtype here — or at batch-stack time in
+        # the batcher — so host-side copies and the host→device
+        # transfer never pay the old decode-to-float32 round trip.
+        encode = getattr(self._predictor, "encode_host", None)
+        if self._batcher is None:
+            cube = (
+                encode(cube) if encode is not None
+                else np.ascontiguousarray(cube, np.float32)
+            )
 
         n = min(len(request.targets), self._max_targets)
         xyz = np.zeros((self._max_targets, 3), np.float32)

@@ -96,11 +96,26 @@ class ServingArtifact:
     grid_shape: Tuple[int, ...]
     platforms: Tuple[str, ...]
 
+    def encode_host(self, cubes):
+        """Narrow a canonical 0..255 host cube to the artifact's baked
+        stream dtype (see models/pipeline.encode_host_cubes)."""
+        from radarml_tpu.models.pipeline import encode_host_cubes
+
+        return encode_host_cubes(cubes, self.cube_dtype)
+
     def __call__(self, cubes, xyz, valid):
         import jax.numpy as jnp
 
+        if self.cube_dtype == "int8":
+            # The baked program expects the value-128 wire encoding;
+            # a straight cast of canonical 0..255 would overflow int8.
+            from radarml_tpu.models.pipeline import encode_int8_cubes
+
+            cubes = encode_int8_cubes(cubes)
+        else:
+            cubes = jnp.asarray(cubes, dtype=jnp.dtype(self.cube_dtype))
         return self.call(
-            jnp.asarray(cubes, dtype=jnp.dtype(self.cube_dtype)),
+            cubes,
             jnp.asarray(xyz, jnp.float32),
             jnp.asarray(valid, bool),
         )

@@ -126,6 +126,21 @@ class StreamingClassifier:
             if out is None:
                 continue
             cube, targets = out
+            if getattr(self.predictor, "cube_dtype", "float32") in (
+                "uint8", "int8",
+            ):
+                # Narrow to canonical uint8 at ingest: every downstream
+                # copy (queue, stack, pad) then moves 1 B/voxel instead
+                # of 4 — the serving loop is host-link-bound
+                # (benchmarks/serving_bench.py). Only for the 8-bit
+                # stream dtypes whose device cast already truncates;
+                # bf16/f32 streams keep non-integer cubes intact.
+                # Canonical u8 (not the predictor's wire encoding) so a
+                # model hot-swap mid-queue can't misread queued scans;
+                # the predictor encodes per batch at __call__ time.
+                cube = np.asarray(cube)
+                if cube.dtype != np.uint8:
+                    cube = cube.astype(np.uint8)
             with self._seq_lock:
                 seq = self._seq
                 self._seq += 1

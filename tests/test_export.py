@@ -99,3 +99,32 @@ def test_serve_cli_export_and_artifact_serving(tmp_path, predictor):
         "--duration", "1.5", "--scan_period", "0.02", "--max_batch", "8",
     ])
     assert stats["processed"] > 0
+
+
+def test_int8_artifact_roundtrip_and_encode_host(tmp_path, predictor):
+    """An int8-stream export serves canonical f32/u8 cubes correctly:
+    __call__ applies the value-128 wire encoding (a straight int8 cast
+    of 0..255 would overflow) and encode_host narrows on host."""
+    p_i8 = RadarPredictor(
+        train_arena=predictor.train_arena, scan_arena=predictor.scan_arena,
+        model=predictor.model, calibration=predictor.calibration,
+        mode="fast", cube_dtype="int8", min_proba=predictor.min_proba,
+    )
+    path = str(tmp_path / "serving_i8.rmlx")
+    export_predictor(p_i8, path, max_targets=4)
+    art = load_serving_artifact(path)
+    assert art.cube_dtype == "int8"
+
+    rng = np.random.default_rng(2)
+    B = 3
+    cubes = np.rint(
+        rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255
+    ).astype(np.float32)
+    xyz, valid = pad_targets(
+        [[(2.0 * b, -b, 95.0 + 4 * b)] for b in range(B)], max_targets=4
+    )
+    want = np.asarray(p_i8(cubes, xyz, valid)[2])
+    for feed in (cubes, cubes.astype(np.uint8), art.encode_host(cubes)):
+        got = np.asarray(art(feed, xyz, valid)[2])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    assert art.encode_host(cubes).dtype == np.int8

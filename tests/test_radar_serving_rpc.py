@@ -408,3 +408,45 @@ def test_int8_wire_transport_matches_uint8(served):
         np.asarray(d_u8[0].class_probas), atol=1e-6,
     )
     assert d_i8[0].label == d_u8[0].label
+
+
+@pytest.mark.parametrize("stream_dtype", ["uint8", "int8"])
+@pytest.mark.parametrize("batched", [False, True])
+def test_narrow_stream_predictor_serves_all_wire_dtypes(
+    served, stream_dtype, batched
+):
+    """A predictor with an 8-bit device stream serves u8/i8/f32 wires
+    identically to the local call: the server decodes the wire to
+    canonical u8 and narrows via predictor.encode_host (no float32
+    round trip), on both the unbatched and the dynamic-batching path."""
+    base, _server, _client = served
+    predictor = RadarPredictor(
+        train_arena=base.train_arena, scan_arena=base.scan_arena,
+        model=base.model, calibration=base.calibration,
+        mode="fast", min_proba=0.0, cube_dtype=stream_dtype,
+    )
+    server = RadarServingServer(
+        predictor, classes=["cat", "dog", "person"],
+        grid_shape=DEFAULT_ARENA.grid_shape,
+        batch_window_ms=20.0 if batched else 0.0, batch_size=4,
+    ).start()
+    client = RadarServingClient(f"127.0.0.1:{server.port}", timeout_s=30)
+    try:
+        rng = np.random.default_rng(6)
+        cube = np.rint(
+            rng.random(DEFAULT_ARENA.grid_shape) * 255
+        ).astype(np.float32)
+        targets = [(3.0, 1.0, 110.0), (-6.0, 2.0, 140.0)]
+        xyz, valid = pad_targets([targets], max_targets=4)
+        want = np.asarray(predictor(cube[None], xyz, valid)[2])[0]
+        for wire in ("uint8", "int8", "float32"):
+            dets = client.classify(cube, targets, dtype=wire)
+            assert len(dets) == 2, wire
+            for t, det in enumerate(dets):
+                np.testing.assert_allclose(
+                    np.asarray(det.class_probas), want[t], atol=1e-6,
+                    err_msg=f"wire={wire} target={t}",
+                )
+    finally:
+        client.close()
+        server.stop()

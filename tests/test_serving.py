@@ -209,3 +209,43 @@ def test_stats_memory_bounded(predictor):
     assert stats["processed"] == 2 * n_batches
     with pytest.raises(queue.Empty):
         svc._q.get_nowait()
+
+
+def test_streaming_narrow_ingest_matches_f32(predictor, rng_module):
+    """An 8-bit-stream predictor gets canonical-u8 queued scans (1
+    B/voxel from ingest on) and emits the same detections as the f32
+    predictor on integer-valued cubes."""
+    fast_u8 = RadarPredictor(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=predictor.model, calibration=predictor.calibration,
+        min_proba=0.0, mode="fast", cube_dtype="uint8",
+    )
+    rng = np.random.default_rng(77)
+    scans = [
+        (
+            np.rint(rng.random(DEFAULT_ARENA.grid_shape) * 255).astype(
+                np.float32
+            ),
+            [(2.0 * i, -1.0, 100.0 + 5 * i)],
+        )
+        for i in range(6)
+    ]
+
+    def run(p):
+        events = []
+        it = iter(scans)
+        svc = StreamingClassifier(
+            p, StreamConfig(max_batch=4, max_wait_s=0.02),
+            on_detection=events.append,
+        )
+        svc.start(lambda: next(it, None))
+        deadline = time.time() + 20
+        while svc.processed < len(scans) and time.time() < deadline:
+            time.sleep(0.05)
+        svc.stop()
+        return {(e.seq, e.target_index): (e.label_index, round(e.proba, 5))
+                for e in events}
+
+    got_u8 = run(fast_u8)
+    got_f32 = run(predictor)
+    assert got_u8 == got_f32 and len(got_u8) == len(scans)
