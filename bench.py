@@ -263,4 +263,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--serving" in sys.argv:
+        # End-to-end serving surfaces (gRPC + sensor loop) instead of
+        # the device hot path; prints one JSON line, writes
+        # SERVING_BENCH.json (see benchmarks/serving_bench.py).
+        sys.argv.remove("--serving")
+        from benchmarks.serving_bench import main as serving_main
+
+        serving_main()
+    else:
+        main()
