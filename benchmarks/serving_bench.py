@@ -144,6 +144,56 @@ def _grpc_scenario(
     }
 
 
+def _grpc_stream_scenario(
+    predictor, dtype: str, duration_s: float, batch_size: int,
+):
+    """ClassifyStream: one call, continuous request stream, server-side
+    batch coalescing — amortizes per-RPC overhead entirely."""
+    from radarml_tpu.core.arena import DEFAULT_ARENA
+    from radarml_tpu.rpc import RadarServingClient, RadarServingServer
+
+    server = RadarServingServer(
+        predictor, classes=["cat", "dog", "person"],
+        grid_shape=DEFAULT_ARENA.grid_shape,
+        batch_size=batch_size, max_workers=4,
+    ).start()
+    client = RadarServingClient(
+        f"127.0.0.1:{server.port}", timeout_s=duration_s + 120.0
+    )
+    rng = np.random.default_rng(3)
+    cube = np.rint(
+        rng.random(DEFAULT_ARENA.grid_shape) * 255
+    ).astype(np.float32)
+    targets = [(5.0, 5.0, 100.0), (-10.0, 3.0, 150.0)]
+
+    # Warm the (batch_size, T) program + the wire.
+    list(client.classify_stream(iter([(cube, targets)] * 3), dtype=dtype))
+
+    stats0 = client.get_stats()
+    deadline = time.perf_counter() + duration_s
+
+    def scans():
+        while time.perf_counter() < deadline:
+            yield (cube, targets)
+
+    t0 = time.perf_counter()
+    n = sum(1 for _ in client.classify_stream(scans(), dtype=dtype))
+    wall = time.perf_counter() - t0
+    stats1 = client.get_stats()
+    client.close()
+    server.stop()
+
+    reqs = stats1.classify_requests - stats0.classify_requests
+    batches = stats1.classify_batches - stats0.classify_batches
+    return {
+        "clients": 1,
+        "transport": "ClassifyStream",
+        "requests": int(n),
+        "scans_per_sec": round(n / wall, 1),
+        "coalesce_ratio": round(reqs / batches, 2) if batches else None,
+    }
+
+
 def _streaming_scenario(predictor, duration_s: float, max_batch: int):
     """Native C++ source, unthrottled, into the local sensor loop."""
     import jax
@@ -232,6 +282,12 @@ def main():
             )
             scenarios.append(s)
             print(f"# grpc {s}", flush=True)
+
+    grpc_stream = _grpc_stream_scenario(
+        predictor, args.dtype, args.duration, args.batch_size
+    )
+    scenarios.append(grpc_stream)
+    print(f"# grpc {grpc_stream}", flush=True)
 
     stream = _streaming_scenario(predictor, args.duration, args.stream_batch)
     print(f"# stream {stream}", flush=True)

@@ -223,10 +223,10 @@ def main(argv=None) -> dict:
 
         T_rpc = int(getattr(predictor, "max_targets", 4))
         logger.info("warming gRPC classify program...")
-        rpc_batches = (
-            {1, max(int(args.grpc_batch_size), 1)}
-            if args.grpc_batch_window_ms > 0 else {1}
-        )
+        # (1,T) serves unary Classify; (batch_size,T) serves both the
+        # dynamic batcher and the ClassifyStream bulk path, which pads
+        # to the same static shape.
+        rpc_batches = {1, max(int(args.grpc_batch_size), 1)}
         for b_rpc in sorted(rpc_batches):
             jax.block_until_ready(
                 predictor(

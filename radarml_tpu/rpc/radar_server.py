@@ -185,7 +185,11 @@ class RadarServingServer:
 
     # -- RPC implementations ------------------------------------------
 
-    def _classify(self, request: pb.ScanRequest, context) -> pb.ClassifyResponse:
+    def _decode(self, request: pb.ScanRequest, context):
+        """Wire → (canonical cube, xyz, valid, n_targets); aborts the
+        RPC on malformed input. Canonical = u8 for the 8-bit wire
+        dtypes (bit view + xor for int8's value-128 format, never a
+        float32 round trip), f32 otherwise."""
         shape = tuple(request.shape) or self._grid
         dt = _DTYPES.get(request.dtype or "uint8")
         if dt is None:
@@ -210,20 +214,7 @@ class RadarServingServer:
             )
         cube = cube.reshape(shape)
         if dt is np.int8:
-            # int8 wire format carries value-128 (models/pipeline
-            # encode_int8_cubes); recover the canonical 0..255 range
-            # with a bit view + xor — stays at 1 B/voxel.
             cube = cube.view(np.uint8) ^ np.uint8(0x80)
-        # Canonical cubes (u8 for 8-bit wires, f32 otherwise) narrow to
-        # the predictor's stream dtype here — or at batch-stack time in
-        # the batcher — so host-side copies and the host→device
-        # transfer never pay the old decode-to-float32 round trip.
-        encode = getattr(self._predictor, "encode_host", None)
-        if self._batcher is None:
-            cube = (
-                encode(cube) if encode is not None
-                else np.ascontiguousarray(cube, np.float32)
-            )
 
         n = min(len(request.targets), self._max_targets)
         xyz = np.zeros((self._max_targets, 3), np.float32)
@@ -232,6 +223,36 @@ class RadarServingServer:
             tgt = request.targets[t]
             xyz[t] = (tgt.x, tgt.y, tgt.z)
             valid[t] = True
+        return cube, xyz, valid, n
+
+    def _respond(self, pred, best_p, proba, n, latency_ms):
+        resp = pb.ClassifyResponse(model_latency_ms=latency_ms)
+        for t in range(n):
+            label = (
+                "" if pred[t] == self._unknown else self._classes[int(pred[t])]
+            )
+            resp.detections.append(
+                pb.RadarDetection(
+                    target_index=t,
+                    label=label,
+                    proba=float(best_p[t]),
+                    class_probas=[float(v) for v in proba[t]],
+                )
+            )
+        return resp
+
+    def _classify(self, request: pb.ScanRequest, context) -> pb.ClassifyResponse:
+        cube, xyz, valid, n = self._decode(request, context)
+        # Canonical cubes narrow to the predictor's stream dtype here —
+        # or at batch-stack time in the batcher — so host-side copies
+        # and the host→device transfer never pay the old
+        # decode-to-float32 round trip.
+        encode = getattr(self._predictor, "encode_host", None)
+        if self._batcher is None:
+            cube = (
+                encode(cube) if encode is not None
+                else np.ascontiguousarray(cube, np.float32)
+            )
 
         with self._stats_lock:
             self._classify_count += 1
@@ -259,20 +280,87 @@ class RadarServingServer:
             proba = np.asarray(proba)[0]
             latency_ms = (time.perf_counter() - t0) * 1e3
 
-        resp = pb.ClassifyResponse(model_latency_ms=latency_ms)
-        for t in range(n):
-            label = (
-                "" if pred[t] == self._unknown else self._classes[int(pred[t])]
-            )
-            resp.detections.append(
-                pb.RadarDetection(
-                    target_index=t,
-                    label=label,
-                    proba=float(best_p[t]),
-                    class_probas=[float(v) for v in proba[t]],
+        return self._respond(pred, best_p, proba, n, latency_ms)
+
+    def _classify_stream(self, request_iterator, context):
+        """Bulk scoring: coalesce a client's request stream into padded
+        device batches; stream responses back in request order.
+
+        Per-RPC overhead (serialize, HTTP/2 frame, handler dispatch,
+        one device program per request) bounds the unary Classify path;
+        here one call amortizes it across the whole stream: a reader
+        thread drains the request iterator into a bounded queue (gRPC
+        flow control backpressures the client when it fills) and the
+        handler packs whatever has arrived — up to the same static
+        `batch_size` program shape the dynamic batcher uses — into one
+        device pass per iteration.
+        """
+        B = self._batch_size
+        done = object()
+        q: "queue.Queue" = queue.Queue(maxsize=4 * B)
+
+        def reader():
+            try:
+                for req in request_iterator:
+                    q.put(req)
+            except Exception:
+                logger.debug("stream reader ended", exc_info=True)
+            finally:
+                q.put(done)
+
+        threading.Thread(
+            target=reader, daemon=True, name="rpc-stream-reader"
+        ).start()
+
+        finished = False
+        while not finished:
+            first = q.get()
+            if first is done:
+                return
+            batch = [self._decode(first, context)]
+            while len(batch) < B:
+                try:
+                    nxt = q.get(timeout=0.002)
+                except queue.Empty:
+                    break
+                if nxt is done:
+                    finished = True
+                    break
+                batch.append(self._decode(nxt, context))
+
+            n_real = len(batch)
+            predictor = self._predictor
+            dtypes = {b[0].dtype for b in batch}
+            stack_dt = batch[0][0].dtype if len(dtypes) == 1 else np.float32
+            cubes = np.zeros((B,) + self._grid, stack_dt)
+            xyz = np.zeros((B, self._max_targets, 3), np.float32)
+            valid = np.zeros((B, self._max_targets), bool)
+            for i, (cube, x, v, _n) in enumerate(batch):
+                cubes[i] = cube
+                xyz[i] = x
+                valid[i] = v
+            encode = getattr(predictor, "encode_host", None)
+            if encode is not None:
+                cubes = encode(cubes)
+            elif cubes.dtype != np.float32:
+                cubes = cubes.astype(np.float32)
+            t0 = time.perf_counter()
+            try:
+                pred, best_p, proba = predictor(cubes, xyz, valid)
+                pred = np.asarray(pred)
+                best_p = np.asarray(best_p)
+                proba = np.asarray(proba)
+            except Exception as e:
+                logger.exception("ClassifyStream device batch failed")
+                context.abort(grpc.StatusCode.INTERNAL, str(e))
+            ms = (time.perf_counter() - t0) * 1e3
+            with self._stats_lock:
+                self._classify_count += n_real
+                self._batches_run += 1
+            for i in range(n_real):
+                yield self._respond(
+                    pred[i], best_p[i], proba[i], batch[i][3], ms
                 )
-            )
-        return resp
 
     def _get_config(self, request, context) -> pb.ServingConfig:
         p = self._predictor
@@ -342,6 +430,11 @@ class RadarServingServer:
         rpcs = {
             "Classify": grpc.unary_unary_rpc_method_handler(
                 self._classify,
+                request_deserializer=pb.ScanRequest.FromString,
+                response_serializer=pb.ClassifyResponse.SerializeToString,
+            ),
+            "ClassifyStream": grpc.stream_stream_rpc_method_handler(
+                self._classify_stream,
                 request_deserializer=pb.ScanRequest.FromString,
                 response_serializer=pb.ClassifyResponse.SerializeToString,
             ),
@@ -476,12 +569,12 @@ class RadarServingClient:
                 time.sleep(delay)
                 delay *= 2
 
-    def classify(
-        self,
+    @staticmethod
+    def _make_request(
         cube: np.ndarray,
         targets: Sequence[Tuple[float, float, float]],
-        dtype: str = "uint8",
-    ) -> List[pb.RadarDetection]:
+        dtype: str,
+    ) -> pb.ScanRequest:
         arr = np.ascontiguousarray(cube)
         if dtype == "uint8":
             arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
@@ -493,7 +586,7 @@ class RadarServingClient:
                 arr = (u8 ^ np.uint8(0x80)).view(np.int8)
         else:
             arr = arr.astype(np.float32)
-        req = pb.ScanRequest(
+        return pb.ScanRequest(
             cube=arr.tobytes(),
             dtype=dtype,
             shape=list(arr.shape),
@@ -502,7 +595,45 @@ class RadarServingClient:
                 for x, y, z in targets
             ],
         )
+
+    def classify(
+        self,
+        cube: np.ndarray,
+        targets: Sequence[Tuple[float, float, float]],
+        dtype: str = "uint8",
+    ) -> List[pb.RadarDetection]:
+        req = self._make_request(cube, targets, dtype)
         return list(self._call(self._classify, req).detections)
+
+    def classify_stream(
+        self,
+        scans,
+        dtype: str = "uint8",
+        timeout_s: Optional[float] = None,
+    ):
+        """Bulk scoring over one streaming call.
+
+        `scans`: iterable of (cube, targets). Yields the detection list
+        for each scan, in order. One RPC amortizes serialization and
+        per-request dispatch across the whole stream; the server packs
+        in-flight requests into device batches (ClassifyStream in
+        radar_serving.proto).
+        """
+        call = self._channel.stream_stream(
+            f"/{SERVICE_NAME}/ClassifyStream",
+            request_serializer=pb.ScanRequest.SerializeToString,
+            response_deserializer=pb.ClassifyResponse.FromString,
+        )
+
+        def requests():
+            for cube, targets in scans:
+                yield self._make_request(cube, targets, dtype)
+
+        try:
+            for resp in call(requests(), timeout=timeout_s or self._timeout):
+                yield list(resp.detections)
+        except grpc.RpcError as e:
+            raise RadarServingError(str(e)) from e
 
     def get_config(self) -> pb.ServingConfig:
         return self._call(self._config, pb.Empty())

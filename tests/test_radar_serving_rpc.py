@@ -450,3 +450,54 @@ def test_narrow_stream_predictor_serves_all_wire_dtypes(
     finally:
         client.close()
         server.stop()
+
+
+def test_classify_stream_matches_unary_in_order(served):
+    """ClassifyStream returns per-scan detections identical to unary
+    Classify, in request order, with fewer device batches than
+    requests (server-side coalescing)."""
+    predictor, server, client = served
+    rng = np.random.default_rng(11)
+    scans = [
+        (
+            np.rint(rng.random(DEFAULT_ARENA.grid_shape) * 255).astype(
+                np.float32
+            ),
+            [(1.0 * i, -2.0, 90.0 + 6 * i), (0.0, 3.0, 150.0)][: 1 + i % 2],
+        )
+        for i in range(10)
+    ]
+    stats0 = client.get_stats()
+    streamed = list(client.classify_stream(iter(scans), dtype="uint8"))
+    stats1 = client.get_stats()
+
+    assert len(streamed) == len(scans)
+    for (cube, targets), dets in zip(scans, streamed):
+        want = client.classify(cube, targets, dtype="uint8")
+        assert len(dets) == len(want) == len(targets)
+        for d, w in zip(dets, want):
+            assert d.target_index == w.target_index
+            assert d.label == w.label
+            np.testing.assert_allclose(
+                np.asarray(d.class_probas),
+                np.asarray(w.class_probas), atol=1e-6,
+            )
+
+    reqs = stats1.classify_requests - stats0.classify_requests
+    batches = stats1.classify_batches - stats0.classify_batches
+    assert reqs >= len(scans)  # the 10 streamed (+ unary checks after)
+    assert 1 <= batches <= len(scans)
+
+
+def test_classify_stream_aborts_on_bad_cube(served):
+    predictor, server, client = served
+    good = np.zeros(DEFAULT_ARENA.grid_shape, np.float32)
+    bad = np.zeros((2, 2, 2), np.float32)
+    with pytest.raises(RadarServingError):
+        list(
+            client.classify_stream(
+                iter([(good, [(0.0, 0.0, 100.0)]),
+                      (bad, [(0.0, 0.0, 100.0)])]),
+                dtype="uint8",
+            )
+        )
