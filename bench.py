@@ -169,8 +169,12 @@ def main():
         "fast_u8": RadarPredictor(mode="fast", cube_dtype="uint8", **kw),
         # int8 wire format (value-128) scored by error-compensated
         # quantized templates as s8xs8->s32 MXU dots — the fastest
-        # measured stream (benchmarks/contraction_probe.py).
+        # 3-read stream (benchmarks/contraction_probe.py).
         "fast_i8": RadarPredictor(mode="fast", cube_dtype="int8", **kw),
+        # one-HBM-pass int8 Pallas kernel over pack_host-packed
+        # batches — reads each cube once instead of once per table;
+        # the fastest measured path (benchmarks/onepass_probe.py).
+        "fused": RadarPredictor(mode="fused", **kw),
         "pallas": RadarPredictor(mode="pallas", cube_dtype="bfloat16", **kw),
     }
 
@@ -186,6 +190,8 @@ def main():
     from radarml_tpu.models.pipeline import encode_int8_cubes
 
     def put_cubes(arr, predictor):
+        if predictor.mode == "fused":
+            return jax.device_put(predictor.pack_host(arr.astype(np.uint8)))
         if predictor.cube_dtype == "int8":
             return jax.device_put(encode_int8_cubes(arr))
         return jax.device_put(
@@ -216,7 +222,12 @@ def main():
 
     best_mode = max(rates, key=rates.get)
     scans_per_sec = rates[best_mode]
-    predictor = predictors[best_mode]
+    # Latency probes run on the fastest SINGLE-SCAN path: the fused
+    # kernel is a bulk path (scans ride the lane tile, so one scan
+    # pads to 128) — serving single scans uses the fast path.
+    lat_candidates = {k: v for k, v in rates.items() if k != "fused"}
+    lat_mode = max(lat_candidates, key=lat_candidates.get)
+    predictor = predictors[lat_mode]
 
     # --- single-scan p50 latency (end-to-end, includes dispatch) --------
     cubes1 = put_cubes(cubes_np[:1], predictor)
@@ -254,6 +265,7 @@ def main():
                 ),
                 "batch": BATCH,
                 "mode": best_mode,
+                "latency_mode": lat_mode,
                 **{f"scans_per_sec_{k}": round(v, 1) for k, v in rates.items()},
                 "max_targets": MAX_TARGETS,
                 "device": str(jax.devices()[0]),

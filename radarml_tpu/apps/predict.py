@@ -66,14 +66,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured path; uint8/int8 truncate non-integer "
                         "cubes)")
     p.add_argument("--mode", type=str, default="exact",
-                   choices=["exact", "fast"],
-                   help="scoring path: exact reference math or folded "
+                   choices=["exact", "fast", "fused"],
+                   help="scoring path: exact reference math, folded "
                         "templates (identical detections; fast is "
-                        "strictly faster). The Pallas kernel mode "
-                        "remains a library/bench reference "
-                        "(RadarPredictor(mode='pallas')) but is "
-                        "dominated by fast on every dtype, so it is "
-                        "not a serving option")
+                        "strictly faster), or the one-HBM-pass int8 "
+                        "Pallas kernel (fused; fastest at bulk — scan "
+                        "batches pad to 128 lanes, so pair it with "
+                        "--batch_scans 128+; decisions are identical "
+                        "to fast with --cube_dtype int8). The bf16 "
+                        "table kernel remains a library/bench "
+                        "reference (RadarPredictor(mode='pallas')) "
+                        "but is dominated by fast on every dtype, so "
+                        "it is not a serving option")
     p.add_argument("--derived_targets", action="store_true",
                    help="derive targets from the raw cube on-device "
                         "instead of trusting the sensor's reports (the "

@@ -117,7 +117,11 @@ class RadarPredictor:
     calibration: Optional[SigmoidCalibration] = None
     proj_mask: ProjMask = ProjMask(True, True, True)
     min_proba: float = 0.7
-    mode: str = "exact"  # "exact" | "fast" | "pallas" (linear-only fast paths)
+    # "exact" | "fast" | "fused" | "pallas" (linear-only fast paths).
+    # "fused" is the fastest bulk path: the one-HBM-pass int8 Pallas
+    # kernel (ops/pallas_i8_score) over pack_host-packed scan batches,
+    # bit-identical decisions to fast+int8.
+    mode: str = "exact"
     mesh: object = None  # optional jax Mesh: shard scans over 'data'
     # Device dtype of the scan-cube stream. Radar cubes are 8-bit
     # sensor data (reference predict.py:90-91 GetRawImage yields
@@ -137,11 +141,26 @@ class RadarPredictor:
 
     def __post_init__(self):
         if self.mode == "pallas" and self.cube_dtype in ("uint8", "int8"):
-            # Mosaic has no 1-byte tiled-load path here; the fast mode
-            # is the throughput default anyway.
-            raise ValueError("pallas mode supports float32/bfloat16 streams")
+            # The bf16 table kernel predates the one-read int8 kernel;
+            # for 8-bit streams use mode="fused" (ops/pallas_i8_score).
+            raise ValueError("pallas mode supports float32/bfloat16 "
+                             "streams; use mode='fused' for int8")
         is_linear = type(self.model).__name__ == "LinearModel"
-        if type(self.model).__name__ == "NeuralClassifier":
+        if self.mode == "fused":
+            if not is_linear:
+                raise ValueError("fused mode folds linear models only")
+            if self.cube_dtype not in ("float32", "int8"):
+                raise ValueError("fused mode streams int8 cubes")
+            if self.mesh is not None:
+                raise ValueError(
+                    "fused mode is a per-chip bulk path; use mode='fast' "
+                    "for mesh-sharded serving"
+                )
+            # The kernel's wire format IS int8 (value-128, packed
+            # scan-minor); the default float32 resolves to it.
+            object.__setattr__(self, "cube_dtype", "int8")
+            object.__setattr__(self, "_fn", self._build_fused())
+        elif type(self.model).__name__ == "NeuralClassifier":
             object.__setattr__(self, "_fn", self._build_neural())
         elif self.mode == "pallas" and is_linear:
             object.__setattr__(self, "_fn", self._build_pallas())
@@ -405,6 +424,106 @@ class RadarPredictor:
 
         return predict_batch
 
+    def _build_fused(self) -> Callable:
+        """One-HBM-pass int8 kernel + raw-table lookup tail.
+
+        The fastest measured bulk path on a v5e (~1.6-2.1x the 3-read
+        fast int8 formulation in one process, benchmarks/
+        onepass_probe.py): ops/pallas_i8_score streams each packed
+        cube through VMEM exactly ONCE and computes all three
+        contraction tables as big-K s8xs8->s32 MXU matmuls with scans
+        riding the lane dimension. Lookups read the RAW int32 tables
+        through lane-wise masked-sum reductions (scans are the minor
+        dim, so per-scan dynamic reads fuse into one streaming pass
+        over each table — no transposes, no B-batched tiny matmuls),
+        and the quantization scales apply to the (B, T, 2C) lookup
+        results. Decisions are bit-identical to mode="fast" with
+        cube_dtype="int8" (same quantized templates, both paths exact
+        integer arithmetic). Replaces /root/reference/predict.py:72-131.
+        """
+        from radarml_tpu.ops.pallas_i8_score import (
+            build_onepass_weights,
+            onepass_tables_i8,
+        )
+
+        scan = self.scan_arena
+        quant = self._quantized_split_templates()
+        weights = build_onepass_weights(
+            quant, (scan.size_x, scan.size_y, scan.size_z)
+        )
+        scales = [
+            (q[1], q[2], q[3]) if q is not None else None for q in quant
+        ]
+        intercept = self.model.intercept
+        C = intercept.shape[0]
+        calib = self.calibration
+        min_proba = self.min_proba
+        interpret = jax.default_backend() != "tpu"
+
+        idx_fn = jax.vmap(
+            jax.vmap(
+                lambda xyz: jnp.stack(
+                    scan.clamped_matrix_indices(xyz[0], xyz[1], xyz[2])
+                )
+            )
+        )
+
+        def lookup_c2d(m_c2db, idx):
+            """(C2, D, B) raw table, (B, T) indices → (B, T, C2)."""
+            D = m_c2db.shape[1]
+            eq = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, D, 1, 1), 1)
+                == idx.T[None, None, :, :]
+            )  # (1, D, T, B)
+            r = jnp.sum(
+                m_c2db[:, :, None, :].astype(jnp.float32) * eq, axis=1
+            )  # (C2, T, B)
+            return r.transpose(2, 1, 0)
+
+        def lookup_dc2(m_dc2b, idx):
+            """(D, C2, B) raw table (kernel-native m3 order)."""
+            D = m_dc2b.shape[0]
+            eq = (
+                jax.lax.broadcasted_iota(jnp.int32, (D, 1, 1, 1), 0)
+                == idx.T[None, None, :, :]
+            )  # (D, 1, T, B)
+            r = jnp.sum(
+                m_dc2b[:, :, None, :].astype(jnp.float32) * eq, axis=0
+            )  # (C2, T, B)
+            return r.transpose(2, 1, 0)
+
+        def combine(r, sc):
+            s1, s2, const = sc
+            return r[..., :C] * s1 + r[..., C:] * s2 + const
+
+        @jax.jit
+        def predict_packed(cube_k, target_xyz, target_valid):
+            B, T = target_xyz.shape[:2]
+            m1, m2, m3 = onepass_tables_i8(
+                cube_k, weights, interpret=interpret
+            )
+            ijk = idx_fn(target_xyz).astype(jnp.int32)
+            dec = jnp.broadcast_to(intercept[None, None, :], (B, T, C))
+            if scales[0] is not None:
+                dec = dec + combine(lookup_c2d(m1, ijk[..., 1]), scales[0])
+            if scales[1] is not None:
+                dec = dec + combine(lookup_c2d(m2, ijk[..., 0]), scales[1])
+            if scales[2] is not None:
+                dec = dec + combine(lookup_dc2(m3, ijk[..., 2]), scales[2])
+            dec = dec.reshape(B * T, C)
+            if calib is not None:
+                proba = calibrated_from_decision(dec, calib)
+            else:
+                proba = proba_from_decision(dec)
+            proba = proba.reshape(B, T, -1)
+            best = jnp.argmax(proba, axis=-1).astype(jnp.int32)
+            best_p = jnp.max(proba, axis=-1)
+            pred = jnp.where(best_p >= min_proba, best, UNKNOWN)
+            pred = jnp.where(target_valid, pred, UNKNOWN)
+            return pred, best_p, proba
+
+        return predict_packed
+
     def _build(self) -> Callable:
         train, scan = self.train_arena, self.scan_arena
         zoom = predict_zoom(train, scan)
@@ -540,6 +659,19 @@ class RadarPredictor:
         """
         return encode_host_cubes(cubes, self.cube_dtype)
 
+    def pack_host(self, cubes: np.ndarray) -> np.ndarray:
+        """Pack (B, X, Y, Z) cubes into the fused kernel's wire layout.
+
+        Host-side (X·Yp, Z·Bp) int8 packing (value-128, scan-minor,
+        scans padded to the lane tile) — see ops/pallas_i8_score.
+        Bulk paths call this once per batch; __call__ accepts the
+        result directly and also 4-D cubes (packed on device at the
+        cost of one extra stream pass).
+        """
+        from radarml_tpu.ops.pallas_i8_score import pack_cubes_i8
+
+        return pack_cubes_i8(cubes)
+
     def __call__(
         self,
         cubes: jax.Array,
@@ -557,6 +689,8 @@ class RadarPredictor:
             (pred, best_proba, proba): (B, T) int32 class index or
             UNKNOWN; (B, T) best probability; (B, T, C) full matrix.
         """
+        if self.mode == "fused":
+            return self._call_fused(cubes, target_xyz, target_valid)
         if self.cube_dtype == "int8":
             cubes = encode_int8_cubes(cubes)
         else:
@@ -571,6 +705,39 @@ class RadarPredictor:
                 self.mesh, cubes, target_xyz, target_valid
             )
         return self._fn(cubes, target_xyz, target_valid)
+
+    def _call_fused(self, cubes, target_xyz, target_valid):
+        """fused-mode dispatch: packed 2-D input or on-device packing.
+
+        A 2-D array is the pack_host wire layout (scans already padded
+        to the lane tile); 4-D cubes are encoded + packed on device
+        (one extra stream pass — bulk callers should pack_host).
+        Targets pad to the packed scan count; outputs slice back.
+        """
+        from radarml_tpu.ops.pallas_i8_score import pack_cubes_i8_device
+
+        Z = self.scan_arena.size_z
+        if getattr(cubes, "ndim", None) == 4:
+            cube_k = pack_cubes_i8_device(encode_int8_cubes(cubes))
+        else:
+            cube_k = jnp.asarray(cubes)
+            if cube_k.dtype != jnp.int8 or cube_k.shape[1] % Z:
+                raise ValueError(
+                    "fused mode takes (B, X, Y, Z) cubes or the "
+                    "pack_host (X*Yp, Z*Bp) int8 layout"
+                )
+        Bp = cube_k.shape[1] // Z
+        target_xyz = jnp.asarray(target_xyz, dtype=jnp.float32)
+        B, T = target_xyz.shape[:2]
+        if target_valid is None:
+            target_valid = jnp.ones((B, T), dtype=bool)
+        if B != Bp:
+            target_xyz = jnp.pad(target_xyz, ((0, Bp - B), (0, 0), (0, 0)))
+            target_valid = jnp.pad(target_valid, ((0, Bp - B), (0, 0)))
+        pred, best_p, proba = self._fn(cube_k, target_xyz, target_valid)
+        if B != Bp:
+            pred, best_p, proba = pred[:B], best_p[:B], proba[:B]
+        return pred, best_p, proba
 
 
 def pad_targets(

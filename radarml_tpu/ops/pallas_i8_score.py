@@ -1,0 +1,248 @@
+"""One-HBM-pass int8 Pallas kernel for the folded scan-scoring tables.
+
+The folded predict path (models/pipeline.py `_build_folded`) scores a
+target by three table lookups after contracting the whole cube against
+each per-plane class template: M1[c, y] = Σ_xz A_xz[c,x,z]·cube[x,y,z]
+(and M2 over x, M3 over z); a target at cell (i, j, k) reads
+M1[c, j] + M2[c, i] + M3[c, k] + b_c. It replaces the per-target loop
+of the reference (/root/reference/predict.py:72-131).
+
+The 3-einsum XLA formulation reads the cube stream once PER TABLE
+(the three contractions keep different free axes), measured at ~89%
+of HBM in aggregate — its ceiling is ~2.3M scans/s on a v5e
+(benchmarks/contraction_probe.py; README "why ~2M is the floor" —
+a floor this kernel is built to break). This kernel computes all
+three tables in ONE pass over an int8 cube stream:
+
+  * Layout: the scan batch is packed scan-minor as a 2-D int8 array
+    `(X·Yp, Z·B)` — rows x·Yp+y with y zero-padded to the int8
+    sublane tile (31→32 costs +3.2%, and the pad rows multiply
+    zero weight columns so their values never matter), columns
+    z·B + b. Both physical tile dims are dense — no hidden layout
+    padding, unlike any (…, Z=176) minor-dim view, which Mosaic
+    would pad 176→256 lanes (+45% HBM).
+  * Grid: one step per z-slice. Each step loads `(X·Yp, B)` — ALL
+    scans ride the MXU lane dimension, so every contraction is a
+    plain big-K matmul `(M, 704) @ (704, B)`; nothing per-scan, no
+    small-K dots, no C-column tile waste (the failure mode of
+    ops/pallas_score.py, whose C=3-column passes idle >97% of the
+    MXU).
+  * Per step, three s8×s8→s32 MXU dots against weights streamed
+    per-z from HBM (+~14% HBM over the cube — they are read once
+    per batch):
+      W1[z] (C2·Yp, X·Yp) = δ_{y,y'}·Qxz[c,x,z]  → M1 rows (c,y)
+      W2[z] (C2·X,  X·Yp) = δ_{x,x'}·Qyz[c,y,z]  → M2 rows (c,x)
+      W3    (C2,    X·Yp) = Qxy[c,x,y]           → M3[z] rows c
+    M1/M2 accumulate in their VMEM-resident output blocks (constant
+    index maps) across the z grid; M3 writes one row-block per step.
+  * Templates are the error-compensated per-class int8 pairs of
+    models/pipeline._quantized_split_templates (hi + lo concatenated
+    on the class axis, C2 = 2C); the int32 tables dequantize outside
+    the kernel as s1·hi + s2·lo + 128·Σt (the cube wire format is
+    value-128, exactly like cube_dtype="int8").
+
+Arithmetic is exact: int8 inputs, int32 accumulation — the only
+error vs float64 tables is the template quantization already shared
+with the fast int8 path (~1e-5 relative on decisions).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "OnepassWeights",
+    "pack_cubes_i8",
+    "pack_cubes_i8_device",
+    "build_onepass_weights",
+    "onepass_tables_i8",
+]
+
+_SUBLANE = 32  # int8 sublane tile
+_LANE = 128  # lane tile
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+class OnepassWeights(NamedTuple):
+    """Device operands for the one-pass kernel (see module docstring)."""
+
+    w1: jax.Array  # (Z, C2·Yp, X·Yp) int8 — per-z xz weights
+    w2: jax.Array  # (Z, C2·X, X·Yp) int8 — per-z yz weights
+    w3: jax.Array  # (C2, X·Yp) int8 — xy weights (z-constant)
+    dims: Tuple[int, int, int, int]  # (X, Y, Z, C)
+
+
+def pack_cubes_i8(cubes: np.ndarray) -> np.ndarray:
+    """(B, X, Y, Z) integer-valued cubes → (X·Yp, Z·B) int8, value-128.
+
+    Host-side packing for the kernel's scan-minor layout. Accepts
+    uint8 (zero-copy xor-msb reinterpret), int8 wire format
+    (already value-128), or any 0..255 integer-valued array.
+    """
+    cubes = np.asarray(cubes)
+    if cubes.dtype == np.int8:
+        v = cubes
+    else:
+        u8 = cubes if cubes.dtype == np.uint8 else cubes.astype(np.uint8)
+        v = (u8 ^ np.uint8(0x80)).view(np.int8)
+    B, X, Y, Z = v.shape
+    Yp = _round_up(Y, _SUBLANE)
+    Bp = _round_up(B, _LANE)  # scan lanes must tile; pads are unread
+    out = np.zeros((X, Yp, Z, Bp), np.int8)
+    out[:, :Y, :, :B] = np.transpose(v, (1, 2, 3, 0))
+    return out.reshape(X * Yp, Z * Bp)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pack_cubes_i8_device(cubes: jax.Array) -> jax.Array:
+    """Device-side pack: (B, X, Y, Z) int8 (value-128) → (X·Yp, Z·B).
+
+    One extra device pass over the stream — use host packing where
+    the batch originates on host (serving ingest packs for free).
+    """
+    B, X, Y, Z = cubes.shape
+    Yp = _round_up(Y, _SUBLANE)
+    Bp = _round_up(B, _LANE)
+    t = jnp.transpose(cubes, (1, 2, 3, 0))
+    t = jnp.pad(t, ((0, 0), (0, Yp - Y), (0, 0), (0, Bp - B)))
+    return t.reshape(X * Yp, Z * Bp)
+
+
+def build_onepass_weights(
+    quant: Sequence[Optional[tuple]], dims: Tuple[int, int, int]
+) -> OnepassWeights:
+    """Per-z block-structured int8 weights from quantized templates.
+
+    quant: the three per-plane entries of
+    models/pipeline.RadarPredictor._quantized_split_templates
+    (q (2C,·,·) int8, s1, s2, const) — None for a masked plane, whose
+    weights stay zero so the plane contributes nothing.
+    dims: (X, Y, Z) of the scan arena grid.
+    """
+    X, Y, Z = dims
+    Yp = _round_up(Y, _SUBLANE)
+    C2 = next(np.asarray(q[0]).shape[0] for q in quant if q is not None)
+    w1 = np.zeros((Z, C2 * Yp, X * Yp), np.int8)
+    w2 = np.zeros((Z, C2 * X, X * Yp), np.int8)
+    w3 = np.zeros((C2, X * Yp), np.int8)
+    if quant[0] is not None:  # xz plane: (C2, X, Z)
+        q = np.asarray(quant[0][0])
+        qz = np.transpose(q, (2, 0, 1))  # (Z, C2, X)
+        w1v = w1.reshape(Z, C2, Yp, X, Yp)
+        for y in range(Y):  # w1[z, c·Yp + y, x·Yp + y] = q[c, x, z]
+            w1v[:, :, y, :, y] = qz
+    if quant[1] is not None:  # yz plane: (C2, Y, Z)
+        q = np.asarray(quant[1][0])
+        qz = np.transpose(q, (2, 0, 1))  # (Z, C2, Y)
+        w2v = w2.reshape(Z, C2, X, X, Yp)
+        for x in range(X):  # w2[z, c·X + x, x·Yp + y] = q[c, y, z]
+            w2v[:, :, x, x, :Y] = qz
+    if quant[2] is not None:  # xy plane: (C2, X, Y)
+        q = np.asarray(quant[2][0])
+        w3.reshape(C2, X, Yp)[:, :, :Y] = q
+    return OnepassWeights(
+        w1=jnp.asarray(w1),
+        w2=jnp.asarray(w2),
+        w3=jnp.asarray(w3),
+        dims=(X, Y, Z, C2 // 2),
+    )
+
+
+def _kernel(cube_ref, w1_ref, w2_ref, w3_ref, o1_ref, o2_ref, o3_ref):
+    z = pl.program_id(0)
+    blk = cube_ref[...]  # (X·Yp, B) int8 — this z-slice, all scans
+    dn = (((1,), (0,)), ((), ()))
+
+    def dot(w):
+        return jax.lax.dot_general(
+            w, blk, dn, preferred_element_type=jnp.int32
+        )
+
+    p1 = dot(w1_ref[0])
+    p2 = dot(w2_ref[0])
+    o3_ref[0] = dot(w3_ref[...])
+
+    @pl.when(z == 0)
+    def _init():
+        o1_ref[...] = p1
+        o2_ref[...] = p2
+
+    @pl.when(z != 0)
+    def _acc():
+        o1_ref[...] += p1
+        o2_ref[...] += p2
+
+
+def onepass_tables_i8(
+    cube_k: jax.Array,
+    weights: OnepassWeights,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(X·Yp, Z·B) packed int8 cubes → raw int32 contraction tables.
+
+    Returns (m1 (C2, Yp, B), m2 (C2, X, B), m3 (Z, C2, B)) int32 —
+    quantized-template contractions against the value-128 stream;
+    dequantize with the plane scales (see module docstring).
+    """
+    return _onepass_tables_i8(
+        cube_k, weights.w1, weights.w2, weights.w3,
+        dims=weights.dims, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "interpret"))
+def _onepass_tables_i8(
+    cube_k: jax.Array,
+    w1: jax.Array,
+    w2: jax.Array,
+    w3: jax.Array,
+    dims: Tuple[int, int, int, int],
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    X, Y, Z, C = dims
+    C2 = 2 * C
+    Yp = _round_up(Y, _SUBLANE)
+    XYp, ZB = cube_k.shape
+    if XYp != X * Yp or ZB % Z:
+        raise ValueError(f"packed cube shape {cube_k.shape} does not "
+                         f"match arena dims {(X, Y, Z)}")
+    B = ZB // Z
+    m1, m2, m3 = pl.pallas_call(
+        _kernel,
+        grid=(Z,),
+        in_specs=[
+            pl.BlockSpec((XYp, B), lambda z: (0, z), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, C2 * Yp, XYp), lambda z: (z, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, C2 * X, XYp), lambda z: (z, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((C2, XYp), lambda z: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C2 * Yp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * X, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C2, B), lambda z: (z, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C2 * Yp, B), jnp.int32),
+            jax.ShapeDtypeStruct((C2 * X, B), jnp.int32),
+            jax.ShapeDtypeStruct((Z, C2, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cube_k, w1, w2, w3)
+    return m1.reshape(C2, Yp, B), m2.reshape(C2, X, B), m3

@@ -59,6 +59,20 @@ def test_predict_app_runs(workdir, trained):
         assert 0.0 <= p <= 1.0
 
 
+def test_predict_app_fused_mode(workdir, trained):
+    """--mode fused drives the one-read int8 kernel end-to-end
+    (interpret mode on CPU) through the CLI batch loop."""
+    from radarml_tpu.apps import predict as predict_app
+
+    results = predict_app.main(
+        ["--num_scans", "4", "--batch_scans", "2", "--mode", "fused",
+         "--min_proba", "0.0"]
+    )
+    assert results
+    names = {n for n, _ in results}
+    assert names <= {"person", "dog", "cat", "Unknown"}
+
+
 def test_capture_and_visualize_apps(workdir):
     from radarml_tpu.apps import ground_truth_samples as gts_app
     from radarml_tpu.apps import visualize as vis_app

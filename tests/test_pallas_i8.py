@@ -1,0 +1,149 @@
+"""One-read int8 kernel (ops/pallas_i8_score) + fused predictor mode.
+
+The kernel is exact integer arithmetic (s8 inputs, s32 accumulation),
+so parity with the fast int8 path is decision-identical by
+construction; these tests run it in interpret mode on CPU against an
+int64 numpy oracle and against mode="fast"/cube_dtype="int8".
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from radarml_tpu.core.arena import DEFAULT_ARENA
+from radarml_tpu.models.linear import LinearModel, SigmoidCalibration
+from radarml_tpu.models.pipeline import RadarPredictor
+from radarml_tpu.ops.pallas_i8_score import (
+    build_onepass_weights,
+    onepass_tables_i8,
+    pack_cubes_i8,
+)
+
+
+def test_onepass_tables_match_int64_oracle(rng):
+    X, Y, Z, C, B = 5, 7, 9, 2, 3
+    C2 = 2 * C
+    q_xz = rng.integers(-127, 128, (C2, X, Z)).astype(np.int8)
+    q_yz = rng.integers(-127, 128, (C2, Y, Z)).astype(np.int8)
+    q_xy = rng.integers(-127, 128, (C2, X, Y)).astype(np.int8)
+    quant = [(q, None, None, None) for q in (q_xz, q_yz, q_xy)]
+    w = build_onepass_weights(quant, (X, Y, Z))
+    cubes = rng.integers(0, 256, (B, X, Y, Z)).astype(np.uint8)
+    ck = pack_cubes_i8(cubes)
+    # scans pad to the lane tile; pad lanes are zero and unread
+    assert ck.shape[1] % Z == 0 and (ck.shape[1] // Z) % 128 == 0
+    m1, m2, m3 = onepass_tables_i8(ck, w, interpret=True)
+
+    v = cubes.astype(np.int64) - 128
+    o1 = np.einsum("cxz,bxyz->cyb", q_xz.astype(np.int64), v)
+    o2 = np.einsum("cyz,bxyz->cxb", q_yz.astype(np.int64), v)
+    o3 = np.einsum("cxy,bxyz->zcb", q_xy.astype(np.int64), v)
+    np.testing.assert_array_equal(
+        np.asarray(m1)[:, :Y, :B].astype(np.int64), o1
+    )
+    np.testing.assert_array_equal(np.asarray(m2)[..., :B].astype(np.int64), o2)
+    np.testing.assert_array_equal(np.asarray(m3)[..., :B].astype(np.int64), o3)
+
+    # masked planes contribute zero weights -> zero tables
+    wm = build_onepass_weights(
+        [None, (q_yz, None, None, None), None], (X, Y, Z)
+    )
+    a1, a2, a3 = onepass_tables_i8(ck, wm, interpret=True)
+    assert not np.asarray(a1).any() and not np.asarray(a3).any()
+    np.testing.assert_array_equal(np.asarray(a2)[..., :B].astype(np.int64), o2)
+
+
+def _linear_fixture(rng, n_classes=3):
+    F = DEFAULT_ARENA.feature_length
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(n_classes, F)) * 0.01, jnp.float32),
+        intercept=jnp.asarray(rng.normal(size=(n_classes,)), jnp.float32),
+    )
+    calib = SigmoidCalibration(
+        a=-jnp.ones((n_classes,), jnp.float32),
+        b=jnp.zeros((n_classes,), jnp.float32),
+    )
+    return dict(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=model, calibration=calib, min_proba=0.5,
+    )
+
+
+def _scan_fixture(rng, B=4, T=3):
+    cubes = np.rint(
+        rng.random((B,) + DEFAULT_ARENA.grid_shape) * 255
+    ).astype(np.float32)
+    xyz = jnp.asarray(rng.uniform(-30, 30, size=(B, T, 3)), jnp.float32)
+    xyz = xyz.at[..., 2].set(jnp.abs(xyz[..., 2]) + 60.0)
+    return cubes, xyz, jnp.ones((B, T), dtype=bool)
+
+
+def test_fused_mode_matches_fast_int8(rng):
+    """fused == fast+int8 decisions/probas (same quantized templates,
+    both exact integer table arithmetic), through both the packed and
+    the 4-D __call__ ingest paths, at a non-lane-aligned batch."""
+    kw = _linear_fixture(rng)
+    fast = RadarPredictor(mode="fast", cube_dtype="int8", **kw)
+    fused = RadarPredictor(mode="fused", **kw)
+    assert fused.cube_dtype == "int8"
+    cubes, xyz, valid = _scan_fixture(rng)
+
+    pf, bf, proba_f = fast(cubes, xyz, valid)
+    p4, b4, proba_4 = fused(cubes, xyz, valid)  # 4-D: on-device pack
+    pk, bk, proba_k = fused(fused.pack_host(cubes), xyz, valid)
+
+    np.testing.assert_array_equal(np.asarray(p4), np.asarray(pf))
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(pf))
+    np.testing.assert_allclose(
+        np.asarray(proba_4), np.asarray(proba_f), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(proba_4), np.asarray(proba_k)
+    )
+    assert proba_4.shape == proba_f.shape  # padding sliced back
+
+
+def test_fused_mode_masked_plane(rng):
+    from radarml_tpu.core.arena import ProjMask
+
+    kw = _linear_fixture(rng)
+    mask = ProjMask(True, False, True)
+    F = sum(
+        s[0] * s[1]
+        for s, keep in zip(
+            (DEFAULT_ARENA.xz_shape, DEFAULT_ARENA.yz_shape,
+             DEFAULT_ARENA.xy_shape),
+            mask,
+        )
+        if keep
+    )
+    model = LinearModel(
+        coef=jnp.asarray(rng.normal(size=(3, F)) * 0.01, jnp.float32),
+        intercept=jnp.zeros((3,), jnp.float32),
+    )
+    kw.update(model=model, calibration=None, proj_mask=mask)
+    fast = RadarPredictor(mode="fast", cube_dtype="int8", **kw)
+    fused = RadarPredictor(mode="fused", **kw)
+    cubes, xyz, valid = _scan_fixture(rng)
+    pf, _, proba_f = fast(cubes, xyz, valid)
+    pk, _, proba_k = fused(fused.pack_host(cubes), xyz, valid)
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(pf))
+    np.testing.assert_allclose(
+        np.asarray(proba_k), np.asarray(proba_f), atol=1e-6
+    )
+
+
+def test_fused_mode_validation(rng):
+    kw = _linear_fixture(rng)
+    with pytest.raises(ValueError, match="int8"):
+        RadarPredictor(mode="fused", cube_dtype="uint8", **kw)
+    with pytest.raises(ValueError, match="mesh"):
+        import jax
+
+        mesh = jax.make_mesh((1,), ("data",))
+        RadarPredictor(mode="fused", mesh=mesh, **kw)
+    fused = RadarPredictor(mode="fused", **kw)
+    with pytest.raises(ValueError, match="pack_host"):
+        bad = np.zeros((704, 177), np.int8)  # not a multiple of Z
+        fused(bad, jnp.zeros((1, 1, 3)), None)
