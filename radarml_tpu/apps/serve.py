@@ -53,10 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured path; uint8/int8 truncate non-integer "
                         "cubes)")
     p.add_argument("--mode", type=str, default="fast",
-                   choices=["exact", "fast"],
+                   choices=["exact", "fast", "fused"],
                    help="scoring path (identical detections; fast is "
-                        "strictly faster; the dominated Pallas kernel "
-                        "is library/bench-only)")
+                        "strictly faster than exact; fused is the "
+                        "one-HBM-pass int8 kernel, fastest at bulk — "
+                        "batches pad to 128 scans, so pair it with "
+                        "--max_batch 128+; the dominated bf16 Pallas "
+                        "kernel is library/bench-only)")
     p.add_argument("--duration", type=float, default=10.0,
                    help="seconds to serve (0 = until interrupted)")
     p.add_argument("--max_batch", type=int, default=64)
