@@ -153,9 +153,40 @@ def main():
         pred = jnp.where(target_valid, pred, -1)
         return pred, best_p, proba
 
+    @jax.jit
+    def fused_gather(cube_k, target_xyz, target_valid):
+        """Tail variant: take_along_axis gathers on the raw tables."""
+        B, T = target_xyz.shape[:2]
+        m1, m2, m3 = onepass_tables_i8(cube_k, w)
+        ijk = idx_fn(target_xyz).astype(jnp.int32)
+
+        def gsel(m_c2db, idx):  # (C2, D, B) @ (B, T) -> (B, T, C2)
+            C2 = m_c2db.shape[0]
+            ix = jnp.broadcast_to(idx.T[None], (C2,) + idx.T.shape)
+            r = jnp.take_along_axis(
+                m_c2db.astype(jnp.float32), ix, axis=1
+            )  # (C2, T, B)
+            return r.transpose(2, 1, 0)
+
+        dec = (
+            intercept[None, None, :]
+            + combine(gsel(m1, ijk[..., 1]), scales[0])
+            + combine(gsel(m2, ijk[..., 0]), scales[1])
+            + combine(gsel(m3.transpose(1, 0, 2), ijk[..., 2]), scales[2])
+        )
+        proba = calibrated_from_decision(dec.reshape(B * T, C), calib)
+        proba = proba.reshape(B, T, C)
+        best = jnp.argmax(proba, axis=-1).astype(jnp.int32)
+        best_p = jnp.max(proba, axis=-1)
+        pred = jnp.where(best_p >= 0.7, best, -1)
+        pred = jnp.where(target_valid, pred, -1)
+        return pred, best_p, proba
+
     # warmup + agreement check
     pf, bf, prf = fast(cubes_i8, xyz, valid)
     pk, bk, prk = fused(cube_k, xyz, valid)
+    pg, _, prg = fused_gather(cube_k, xyz, valid)
+    assert np.array_equal(np.asarray(pk), np.asarray(pg))
     agree = float(np.mean(np.asarray(pf) == np.asarray(pk)))
     derr = float(np.max(np.abs(np.asarray(prf) - np.asarray(prk))))
 
@@ -163,6 +194,8 @@ def main():
                            lambda o: jax.device_get(o[0][:1]))
     r_fused = BATCH / slope(lambda: fused(cube_k, xyz, valid),
                             lambda o: jax.device_get(o[0][:1]))
+    r_gather = BATCH / slope(lambda: fused_gather(cube_k, xyz, valid),
+                             lambda o: jax.device_get(o[0][:1]))
     tab = jax.jit(lambda ck: onepass_tables_i8(ck, w))
     _ = jax.device_get(tab(cube_k)[0][:1])
     r_tab = BATCH / slope(lambda: tab(cube_k),
@@ -171,6 +204,7 @@ def main():
     print(json.dumps({
         "scans_per_sec_fast_i8": round(r_fast, 1),
         "scans_per_sec_fused": round(r_fused, 1),
+        "scans_per_sec_fused_gather_tail": round(r_gather, 1),
         "scans_per_sec_fused_tables_only": round(r_tab, 1),
         "fused_over_fast": round(r_fused / r_fast, 3),
         "pred_agreement": agree,
