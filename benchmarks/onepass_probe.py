@@ -61,7 +61,8 @@ def main():
     )
     from radarml_tpu.ops.features import process_samples
     from radarml_tpu.ops.pallas_i8_score import (
-        build_onepass_weights, onepass_tables_i8, pack_cubes_i8,
+        build_onepass_weights, onepass_tables_i8, onepass_tables_sel_i8,
+        pack_cubes_i8,
     )
 
     samples, labels = make_dataset(90, seed=11)
@@ -182,11 +183,41 @@ def main():
         pred = jnp.where(target_valid, pred, -1)
         return pred, best_p, proba
 
+    @jax.jit
+    def fused_sel(cube_k, target_xyz, target_valid):
+        """Tail variant: z-table row selection folded into the kernel.
+
+        The (Z, C2, B) table never reaches HBM — the kernel keeps
+        only each target's own z-row, so the tail drops its largest
+        masked-sum (D=176) entirely.
+        """
+        B, T = target_xyz.shape[:2]
+        ijk = idx_fn(target_xyz).astype(jnp.int32)
+        kidx = jnp.where(target_valid, ijk[..., 2], -1)
+        m1, m2, d3 = onepass_tables_sel_i8(cube_k, w, kidx)
+        r3 = d3[:, :T, :].transpose(2, 1, 0).astype(jnp.float32)
+        dec = (
+            intercept[None, None, :]
+            + combine(lookup_c2(m1, ijk[..., 1]), scales[0])
+            + combine(lookup_c2(m2, ijk[..., 0]), scales[1])
+            + combine(r3, scales[2])
+        )
+        proba = calibrated_from_decision(dec.reshape(B * T, C), calib)
+        proba = proba.reshape(B, T, C)
+        best = jnp.argmax(proba, axis=-1).astype(jnp.int32)
+        best_p = jnp.max(proba, axis=-1)
+        pred = jnp.where(best_p >= 0.7, best, -1)
+        pred = jnp.where(target_valid, pred, -1)
+        return pred, best_p, proba
+
     # warmup + agreement check
     pf, bf, prf = fast(cubes_i8, xyz, valid)
     pk, bk, prk = fused(cube_k, xyz, valid)
     pg, _, prg = fused_gather(cube_k, xyz, valid)
+    ps, _, prs = fused_sel(cube_k, xyz, valid)
     assert np.array_equal(np.asarray(pk), np.asarray(pg))
+    sel_err = float(np.max(np.abs(np.asarray(prs) - np.asarray(prk))))
+    assert np.array_equal(np.asarray(pk), np.asarray(ps)), sel_err
     agree = float(np.mean(np.asarray(pf) == np.asarray(pk)))
     derr = float(np.max(np.abs(np.asarray(prf) - np.asarray(prk))))
 
@@ -196,6 +227,8 @@ def main():
                             lambda o: jax.device_get(o[0][:1]))
     r_gather = BATCH / slope(lambda: fused_gather(cube_k, xyz, valid),
                              lambda o: jax.device_get(o[0][:1]))
+    r_sel = BATCH / slope(lambda: fused_sel(cube_k, xyz, valid),
+                          lambda o: jax.device_get(o[0][:1]))
     tab = jax.jit(lambda ck: onepass_tables_i8(ck, w))
     _ = jax.device_get(tab(cube_k)[0][:1])
     r_tab = BATCH / slope(lambda: tab(cube_k),
@@ -205,6 +238,7 @@ def main():
         "scans_per_sec_fast_i8": round(r_fast, 1),
         "scans_per_sec_fused": round(r_fused, 1),
         "scans_per_sec_fused_gather_tail": round(r_gather, 1),
+        "scans_per_sec_fused_sel_tail": round(r_sel, 1),
         "scans_per_sec_fused_tables_only": round(r_tab, 1),
         "fused_over_fast": round(r_fused / r_fast, 3),
         "pred_agreement": agree,

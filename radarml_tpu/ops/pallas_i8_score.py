@@ -64,6 +64,8 @@ __all__ = [
     "pack_cubes_i8_device",
     "build_onepass_weights",
     "onepass_tables_i8",
+    "onepass_tables_sel_i8",
+    "SEL_TP",
 ]
 
 _SUBLANE = 32  # int8 sublane tile
@@ -156,6 +158,134 @@ def build_onepass_weights(
         w2=jnp.asarray(w2),
         w3=jnp.asarray(w3),
         dims=(X, Y, Z, C2 // 2),
+    )
+
+
+SEL_TP = 8  # target-slot rows pad to the int32 sublane tile
+
+
+def _kernel_sel(
+    cube_ref, w1_ref, w2_ref, w3r_ref, kidx_ref, o1_ref, o2_ref, o3_ref
+):
+    """Variant of _kernel that selects the z-table rows in-kernel.
+
+    w3r is the xy weight rows replicated per target slot (row
+    r = c2·Tp + t holds W3[c2]); kidx is the per-scan target z index
+    replicated the same way (kidx[r] = k[t]), VMEM-resident across
+    the whole grid (constant index map). Each step keeps only the
+    rows whose target sits in this z-slice, so the per-target
+    z-decision accumulates on-chip and the (Z, C2, B) table never
+    round-trips HBM — nor does its masked-sum lookup tail.
+    """
+    z = pl.program_id(0)
+    blk = cube_ref[...]  # (X·Yp, B) int8 — this z-slice, all scans
+    dn = (((1,), (0,)), ((), ()))
+
+    def dot(w):
+        return jax.lax.dot_general(
+            w, blk, dn, preferred_element_type=jnp.int32
+        )
+
+    p1 = dot(w1_ref[0])
+    p2 = dot(w2_ref[0])
+    p3 = dot(w3r_ref[...]) * (kidx_ref[...] == z).astype(jnp.int32)
+
+    @pl.when(z == 0)
+    def _init():
+        o1_ref[...] = p1
+        o2_ref[...] = p2
+        o3_ref[...] = p3
+
+    @pl.when(z != 0)
+    def _acc():
+        o1_ref[...] += p1
+        o2_ref[...] += p2
+        o3_ref[...] += p3
+
+
+def onepass_tables_sel_i8(
+    cube_k: jax.Array,
+    weights: OnepassWeights,
+    kidx: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One-pass tables with the z-table lookup folded into the kernel.
+
+    kidx: (B, T) int32 per-target z indices (use -1 for padded target
+    slots — matches no z-step, so their rows stay zero). Returns
+    (m1 (C2, Yp, B), m2 (C2, X, B), d3 (C2, Tp, B)) where
+    d3[c, t, b] = M3[kidx[b, t], c, b] — the raw per-target z-table
+    read, already selected; slice [:, :T, :] and dequantize like m3.
+    """
+    return _onepass_tables_sel_i8(
+        cube_k, weights.w1, weights.w2, weights.w3, kidx,
+        dims=weights.dims, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "interpret"))
+def _onepass_tables_sel_i8(
+    cube_k: jax.Array,
+    w1: jax.Array,
+    w2: jax.Array,
+    w3: jax.Array,
+    kidx: jax.Array,
+    dims: Tuple[int, int, int, int],
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    X, Y, Z, C = dims
+    C2 = 2 * C
+    Yp = _round_up(Y, _SUBLANE)
+    XYp, ZB = cube_k.shape
+    if XYp != X * Yp or ZB % Z:
+        raise ValueError(f"packed cube shape {cube_k.shape} does not "
+                         f"match arena dims {(X, Y, Z)}")
+    B = ZB // Z
+    T = kidx.shape[1]
+    Tp = _round_up(T, SEL_TP)
+    # row r = c2·Tp + t: weights repeat per slot, indices tile per class
+    w3r = jnp.repeat(w3, Tp, axis=0)  # (C2·Tp, X·Yp) int8
+    kt = jnp.pad(
+        kidx.T.astype(jnp.int32), ((0, Tp - T), (0, B - kidx.shape[0])),
+        constant_values=-1,
+    )  # (Tp, B)
+    kidxr = jnp.tile(kt, (C2, 1))  # (C2·Tp, B)
+    m1, m2, d3 = pl.pallas_call(
+        _kernel_sel,
+        grid=(Z,),
+        in_specs=[
+            pl.BlockSpec((XYp, B), lambda z: (0, z), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, C2 * Yp, XYp), lambda z: (z, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, C2 * X, XYp), lambda z: (z, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (C2 * Tp, XYp), lambda z: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((C2 * Yp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * X, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C2 * Yp, B), jnp.int32),
+            jax.ShapeDtypeStruct((C2 * X, B), jnp.int32),
+            jax.ShapeDtypeStruct((C2 * Tp, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cube_k, w1, w2, w3r, kidxr)
+    return (
+        m1.reshape(C2, Yp, B),
+        m2.reshape(C2, X, B),
+        d3.reshape(C2, Tp, B),
     )
 
 

@@ -54,6 +54,45 @@ def test_onepass_tables_match_int64_oracle(rng):
     np.testing.assert_array_equal(np.asarray(a2)[..., :B].astype(np.int64), o2)
 
 
+def test_onepass_tables_sel_match_int64_oracle(rng):
+    """In-kernel z-row selection == oracle z-table read at kidx.
+
+    Padded slots (kidx=-1) match no z-step and must stay zero; m1/m2
+    must be identical to the plain kernel's."""
+    from radarml_tpu.ops.pallas_i8_score import onepass_tables_sel_i8
+
+    X, Y, Z, C, B, T = 5, 7, 9, 2, 3, 2
+    C2 = 2 * C
+    q_xz = rng.integers(-127, 128, (C2, X, Z)).astype(np.int8)
+    q_yz = rng.integers(-127, 128, (C2, Y, Z)).astype(np.int8)
+    q_xy = rng.integers(-127, 128, (C2, X, Y)).astype(np.int8)
+    quant = [(q, None, None, None) for q in (q_xz, q_yz, q_xy)]
+    w = build_onepass_weights(quant, (X, Y, Z))
+    cubes = rng.integers(0, 256, (B, X, Y, Z)).astype(np.uint8)
+    ck = pack_cubes_i8(cubes)
+    kidx = rng.integers(0, Z, (B, T)).astype(np.int32)
+    kidx[0, -1] = -1  # padded target slot
+    s1, s2, d3 = onepass_tables_sel_i8(
+        ck, w, jnp.asarray(kidx), interpret=True
+    )
+    m1, m2, m3 = onepass_tables_i8(ck, w, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(m1))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(m2))
+
+    v = cubes.astype(np.int64) - 128
+    o3 = np.einsum("cxy,bxyz->zcb", q_xy.astype(np.int64), v)
+    got = np.asarray(d3).astype(np.int64)  # (C2, Tp, B)
+    for b in range(B):
+        for t in range(T):
+            want = (
+                np.zeros(C2, np.int64) if kidx[b, t] < 0
+                else o3[kidx[b, t], :, b]
+            )
+            np.testing.assert_array_equal(got[:, t, b], want)
+    # padded slot rows beyond T are zero
+    assert not got[:, T:, :].any()
+
+
 def _linear_fixture(rng, n_classes=3):
     F = DEFAULT_ARENA.feature_length
     model = LinearModel(
