@@ -65,6 +65,7 @@ __all__ = [
     "build_onepass_weights",
     "onepass_tables_i8",
     "onepass_tables_sel_i8",
+    "onepass_scores_i8",
     "SEL_TP",
 ]
 
@@ -122,7 +123,9 @@ def pack_cubes_i8_device(cubes: jax.Array) -> jax.Array:
 
 
 def build_onepass_weights(
-    quant: Sequence[Optional[tuple]], dims: Tuple[int, int, int]
+    quant: Sequence[Optional[tuple]],
+    dims: Tuple[int, int, int],
+    pad_x: bool = False,
 ) -> OnepassWeights:
     """Per-z block-structured int8 weights from quantized templates.
 
@@ -131,12 +134,17 @@ def build_onepass_weights(
     (q (2C,·,·) int8, s1, s2, const) — None for a masked plane, whose
     weights stay zero so the plane contributes nothing.
     dims: (X, Y, Z) of the scan arena grid.
+    pad_x: pad the per-class w2 row blocks X→⌈X/32⌉·32 (required by
+    onepass_scores_i8, whose in-kernel x-selection needs a
+    sublane-aligned (C2, Xp, B) view of the accumulator; the pad rows
+    carry zero weights and are never selected).
     """
     X, Y, Z = dims
     Yp = _round_up(Y, _SUBLANE)
+    Xp = _round_up(X, _SUBLANE) if pad_x else X
     C2 = next(np.asarray(q[0]).shape[0] for q in quant if q is not None)
     w1 = np.zeros((Z, C2 * Yp, X * Yp), np.int8)
-    w2 = np.zeros((Z, C2 * X, X * Yp), np.int8)
+    w2 = np.zeros((Z, C2 * Xp, X * Yp), np.int8)
     w3 = np.zeros((C2, X * Yp), np.int8)
     if quant[0] is not None:  # xz plane: (C2, X, Z)
         q = np.asarray(quant[0][0])
@@ -147,8 +155,8 @@ def build_onepass_weights(
     if quant[1] is not None:  # yz plane: (C2, Y, Z)
         q = np.asarray(quant[1][0])
         qz = np.transpose(q, (2, 0, 1))  # (Z, C2, Y)
-        w2v = w2.reshape(Z, C2, X, X, Yp)
-        for x in range(X):  # w2[z, c·X + x, x·Yp + y] = q[c, y, z]
+        w2v = w2.reshape(Z, C2, Xp, X, Yp)
+        for x in range(X):  # w2[z, c·Xp + x, x·Yp + y] = q[c, y, z]
             w2v[:, :, x, x, :Y] = qz
     if quant[2] is not None:  # xy plane: (C2, X, Y)
         q = np.asarray(quant[2][0])
@@ -241,6 +249,7 @@ def _onepass_tables_sel_i8(
         raise ValueError(f"packed cube shape {cube_k.shape} does not "
                          f"match arena dims {(X, Y, Z)}")
     B = ZB // Z
+    Xr = w2.shape[1] // C2  # X, or Xp for pad_x weights
     T = kidx.shape[1]
     Tp = _round_up(T, SEL_TP)
     # row r = c2·Tp + t: weights repeat per slot, indices tile per class
@@ -260,7 +269,7 @@ def _onepass_tables_sel_i8(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, C2 * X, XYp), lambda z: (z, 0, 0),
+                (1, C2 * Xr, XYp), lambda z: (z, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -272,19 +281,19 @@ def _onepass_tables_sel_i8(
         ],
         out_specs=[
             pl.BlockSpec((C2 * Yp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C2 * X, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * Xr, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C2 * Yp, B), jnp.int32),
-            jax.ShapeDtypeStruct((C2 * X, B), jnp.int32),
+            jax.ShapeDtypeStruct((C2 * Xr, B), jnp.int32),
             jax.ShapeDtypeStruct((C2 * Tp, B), jnp.int32),
         ],
         interpret=interpret,
     )(cube_k, w1, w2, w3r, kidxr)
     return (
         m1.reshape(C2, Yp, B),
-        m2.reshape(C2, X, B),
+        m2.reshape(C2, Xr, B),
         d3.reshape(C2, Tp, B),
     )
 
@@ -348,6 +357,7 @@ def _onepass_tables_i8(
         raise ValueError(f"packed cube shape {cube_k.shape} does not "
                          f"match arena dims {(X, Y, Z)}")
     B = ZB // Z
+    Xr = w2.shape[1] // C2  # X, or Xp for pad_x weights
     m1, m2, m3 = pl.pallas_call(
         _kernel,
         grid=(Z,),
@@ -358,21 +368,199 @@ def _onepass_tables_i8(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, C2 * X, XYp), lambda z: (z, 0, 0),
+                (1, C2 * Xr, XYp), lambda z: (z, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((C2, XYp), lambda z: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((C2 * Yp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C2 * X, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * Xr, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C2, B), lambda z: (z, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C2 * Yp, B), jnp.int32),
-            jax.ShapeDtypeStruct((C2 * X, B), jnp.int32),
+            jax.ShapeDtypeStruct((C2 * Xr, B), jnp.int32),
             jax.ShapeDtypeStruct((Z, C2, B), jnp.int32),
         ],
         interpret=interpret,
     )(cube_k, w1, w2, w3)
-    return m1.reshape(C2, Yp, B), m2.reshape(C2, X, B), m3
+    return m1.reshape(C2, Yp, B), m2.reshape(C2, Xr, B), m3
+
+
+def _kernel_scores(
+    C2, Yp, Xp, Tp,
+    cube_ref, w1_ref, w2_ref, w3r_ref, kidx_ref, ohj_ref, ohi_ref,
+    o1_ref, o2_ref, o3_ref, acc1, acc2,
+):
+    """Full in-kernel scoring: tables AND all three lookups on-chip.
+
+    Like _kernel_sel for the z axis (per-step program_id mask), plus:
+    m1/m2 accumulate in VMEM *scratch* (never reaching HBM), and at
+    the last z-step each target's (y, x) rows are selected with
+    precomputed one-hot operands ohj (Tp·Yp, B) / ohi (Tp·Xp, B) —
+    a per-class broadcast-multiply-reduce over the sublane dim. The
+    only HBM outputs are the three (C2·Tp, B) selected score blocks;
+    the XLA tail is dequantize + calibrate on (B, T, C) scalars.
+    """
+    z = pl.program_id(0)
+    nz = pl.num_programs(0)
+    blk = cube_ref[...]  # (X·Yp, B) int8 — this z-slice, all scans
+    dn = (((1,), (0,)), ((), ()))
+
+    def dot(w):
+        return jax.lax.dot_general(
+            w, blk, dn, preferred_element_type=jnp.int32
+        )
+
+    p1 = dot(w1_ref[0])
+    p2 = dot(w2_ref[0])
+    p3 = dot(w3r_ref[...]) * (kidx_ref[...] == z).astype(jnp.int32)
+
+    @pl.when(z == 0)
+    def _init():
+        acc1[...] = p1
+        acc2[...] = p2
+        o3_ref[...] = p3
+
+    @pl.when(z != 0)
+    def _acc():
+        acc1[...] += p1
+        acc2[...] += p2
+        o3_ref[...] += p3
+
+    @pl.when(z == nz - 1)
+    def _select():
+        a1 = acc1[...].reshape(C2, Yp, acc1.shape[-1])
+        a2 = acc2[...].reshape(C2, Xp, acc2.shape[-1])
+        ohj = ohj_ref[...].reshape(Tp, Yp, ohj_ref.shape[-1])
+        ohi = ohi_ref[...].reshape(Tp, Xp, ohi_ref.shape[-1])
+        for c2 in range(C2):
+            o1_ref[c2 * Tp:(c2 + 1) * Tp, :] = jnp.sum(
+                a1[c2][None, :, :] * ohj, axis=1
+            )
+            o2_ref[c2 * Tp:(c2 + 1) * Tp, :] = jnp.sum(
+                a2[c2][None, :, :] * ohi, axis=1
+            )
+
+
+def onepass_scores_i8(
+    cube_k: jax.Array,
+    weights: OnepassWeights,
+    ijk: jax.Array,
+    valid: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One-read int8 scoring with ALL table lookups folded in-kernel.
+
+    weights must be built with pad_x=True. ijk: (B, T, 3) int32
+    per-target (i=x, j=y, k=z) cell indices; valid: optional (B, T)
+    bool — invalid slots select nothing and return zero rows.
+
+    Returns (s1, s2, s3), each (C2, Tp, B) int32: the per-target
+    table reads M1[c,j], M2[c,i], M3[k,c] already selected. Slice
+    [:, :T, :B] and dequantize with the plane scales exactly like the
+    (m1, m2, m3) lookups of onepass_tables_i8 — the XLA tail left is
+    scales + intercept + calibration on (B, T, C) scalars. Replaces
+    the per-target table-read loop of /root/reference/predict.py:103-119.
+    """
+    B, T = ijk.shape[:2]
+    idx = ijk.astype(jnp.int32)
+    if valid is not None:
+        idx = jnp.where(valid[..., None], idx, -1)
+    return _onepass_scores_i8(
+        cube_k, weights.w1, weights.w2, weights.w3,
+        idx, dims=weights.dims, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "interpret"))
+def _onepass_scores_i8(
+    cube_k: jax.Array,
+    w1: jax.Array,
+    w2: jax.Array,
+    w3: jax.Array,
+    ijk: jax.Array,
+    dims: Tuple[int, int, int, int],
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    X, Y, Z, C = dims
+    C2 = 2 * C
+    Yp = _round_up(Y, _SUBLANE)
+    Xp = w2.shape[1] // C2
+    if Xp % _SUBLANE:
+        raise ValueError(
+            "onepass_scores_i8 needs pad_x=True weights "
+            f"(w2 class rows {Xp} not a multiple of {_SUBLANE})"
+        )
+    XYp, ZB = cube_k.shape
+    if XYp != X * Yp or ZB % Z:
+        raise ValueError(f"packed cube shape {cube_k.shape} does not "
+                         f"match arena dims {(X, Y, Z)}")
+    B = ZB // Z
+    T = ijk.shape[1]
+    Tp = _round_up(T, SEL_TP)
+    idx = jnp.pad(
+        jnp.transpose(ijk, (1, 2, 0)),  # (T, 3, Bin)
+        ((0, Tp - T), (0, 0), (0, B - ijk.shape[0])),
+        constant_values=-1,
+    )  # (Tp, 3, B)
+    kidxr = jnp.tile(idx[:, 2, :], (C2, 1))  # (C2·Tp, B)
+    w3r = jnp.repeat(w3, Tp, axis=0)  # (C2·Tp, X·Yp) int8
+
+    def onehot(col, D):  # (Tp, B) indices → (Tp·D, B) int32 one-hot
+        eq = (
+            jax.lax.broadcasted_iota(jnp.int32, (Tp, D, B), 1)
+            == idx[:, col, :][:, None, :]
+        )
+        return eq.astype(jnp.int32).reshape(Tp * D, B)
+
+    ohj = onehot(1, Yp)
+    ohi = onehot(0, Xp)
+    s1, s2, s3 = pl.pallas_call(
+        functools.partial(_kernel_scores, C2, Yp, Xp, Tp),
+        grid=(Z,),
+        in_specs=[
+            pl.BlockSpec((XYp, B), lambda z: (0, z), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, C2 * Yp, XYp), lambda z: (z, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, C2 * Xp, XYp), lambda z: (z, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (C2 * Tp, XYp), lambda z: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Tp * Yp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Tp * Xp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C2 * Tp, B), jnp.int32),
+            jax.ShapeDtypeStruct((C2 * Tp, B), jnp.int32),
+            jax.ShapeDtypeStruct((C2 * Tp, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((C2 * Yp, B), jnp.int32),
+            pltpu.VMEM((C2 * Xp, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cube_k, w1, w2, w3r, kidxr, ohj, ohi)
+    return (
+        s1.reshape(C2, Tp, B),
+        s2.reshape(C2, Tp, B),
+        s3.reshape(C2, Tp, B),
+    )

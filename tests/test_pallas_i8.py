@@ -93,6 +93,62 @@ def test_onepass_tables_sel_match_int64_oracle(rng):
     assert not got[:, T:, :].any()
 
 
+def test_onepass_scores_match_int64_oracle(rng):
+    """Full in-kernel selection == oracle table reads at (i, j, k).
+
+    Invalid slots and the Tp pad rows must come back zero."""
+    from radarml_tpu.ops.pallas_i8_score import onepass_scores_i8
+
+    X, Y, Z, C, B, T = 5, 7, 9, 2, 3, 2
+    C2 = 2 * C
+    q_xz = rng.integers(-127, 128, (C2, X, Z)).astype(np.int8)
+    q_yz = rng.integers(-127, 128, (C2, Y, Z)).astype(np.int8)
+    q_xy = rng.integers(-127, 128, (C2, X, Y)).astype(np.int8)
+    quant = [(q, None, None, None) for q in (q_xz, q_yz, q_xy)]
+    w = build_onepass_weights(quant, (X, Y, Z), pad_x=True)
+    assert w.w2.shape[1] == C2 * 32
+    cubes = rng.integers(0, 256, (B, X, Y, Z)).astype(np.uint8)
+    ck = pack_cubes_i8(cubes)
+    ijk = np.stack(
+        [rng.integers(0, X, (B, T)), rng.integers(0, Y, (B, T)),
+         rng.integers(0, Z, (B, T))], axis=-1
+    ).astype(np.int32)
+    valid = np.ones((B, T), bool)
+    valid[0, -1] = False
+    s1, s2, s3 = onepass_scores_i8(
+        ck, w, jnp.asarray(ijk), jnp.asarray(valid), interpret=True
+    )
+
+    v = cubes.astype(np.int64) - 128
+    o1 = np.einsum("cxz,bxyz->cyb", q_xz.astype(np.int64), v)
+    o2 = np.einsum("cyz,bxyz->cxb", q_yz.astype(np.int64), v)
+    o3 = np.einsum("cxy,bxyz->zcb", q_xy.astype(np.int64), v)
+    got = [np.asarray(s).astype(np.int64) for s in (s1, s2, s3)]
+    for b in range(B):
+        for t in range(T):
+            i, j, k = ijk[b, t]
+            w1v, w2v, w3v = (
+                (o1[:, j, b], o2[:, i, b], o3[k, :, b])
+                if valid[b, t] else (0, 0, 0)
+            )
+            np.testing.assert_array_equal(got[0][:, t, b], w1v)
+            np.testing.assert_array_equal(got[1][:, t, b], w2v)
+            np.testing.assert_array_equal(got[2][:, t, b], w3v)
+    for g in got:  # pad slots beyond T
+        assert not g[:, T:, :].any()
+
+    # pad_x weights must leave the plain kernel's tables unchanged
+    m1, m2, m3 = onepass_tables_i8(ck, w, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(m1)[:, :Y, :B].astype(np.int64), o1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m2)[:, :X, :B].astype(np.int64), o2
+    )
+    assert not np.asarray(m2)[:, X:, :].any()
+    np.testing.assert_array_equal(np.asarray(m3)[..., :B].astype(np.int64), o3)
+
+
 def _linear_fixture(rng, n_classes=3):
     F = DEFAULT_ARENA.feature_length
     model = LinearModel(
