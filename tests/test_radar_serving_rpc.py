@@ -323,8 +323,10 @@ def test_client_retries_transient_unavailable(served):
         predictor, classes=["cat", "dog", "person"],
         grid_shape=DEFAULT_ARENA.grid_shape, port=50931,
     ).start()
+    # Generous retry budget: under a loaded 1-core host the restart
+    # thread can be starved well past its nominal sleep.
     client = RadarServingClient(
-        "127.0.0.1:50931", timeout_s=10, retries=4, backoff_s=0.3
+        "127.0.0.1:50931", timeout_s=10, retries=7, backoff_s=0.3
     )
     try:
         cfg = client.get_config()
@@ -332,7 +334,7 @@ def test_client_retries_transient_unavailable(served):
         s1.stop(grace=0)
 
         def bring_back():
-            _time.sleep(1.0)
+            _time.sleep(0.5)
             RadarServingServer(
                 predictor, classes=["cat", "dog", "person"],
                 grid_shape=DEFAULT_ARENA.grid_shape, port=50931,
