@@ -122,6 +122,18 @@ class RadarPredictor:
     # kernel (ops/pallas_i8_score) over pack_host-packed scan batches,
     # bit-identical decisions to fast+int8.
     mode: str = "exact"
+    # fused-mode lookup tail (benchmarks/onepass_probe.py):
+    #   "lookup" — kernel emits the raw m1/m2/m3 tables; XLA reads
+    #              them with lane-wise masked sums.
+    #   "sel"    — the z-table (the largest, (Z, C2, B)) never leaves
+    #              the kernel: per-target z rows are selected against
+    #              program_id each grid step.
+    #   "sel3"   — ALL three lookups fold in-kernel (m1/m2 accumulate
+    #              in VMEM scratch, one-hot row selection at the last
+    #              z-step); the XLA tail is dequant+calibrate only.
+    # All three are decision-identical; the default follows the
+    # fastest measured variant on a v5e.
+    fused_tail: str = "lookup"
     mesh: object = None  # optional jax Mesh: shard scans over 'data'
     # Device dtype of the scan-cube stream. Radar cubes are 8-bit
     # sensor data (reference predict.py:90-91 GetRawImage yields
@@ -155,6 +167,10 @@ class RadarPredictor:
                 raise ValueError(
                     "fused mode is a per-chip bulk path; use mode='fast' "
                     "for mesh-sharded serving"
+                )
+            if self.fused_tail not in ("lookup", "sel", "sel3"):
+                raise ValueError(
+                    "fused_tail must be 'lookup', 'sel' or 'sel3'"
                 )
             # The kernel's wire format IS int8 (value-128, packed
             # scan-minor); the default float32 resolves to it.
@@ -440,16 +456,27 @@ class RadarPredictor:
         results. Decisions are bit-identical to mode="fast" with
         cube_dtype="int8" (same quantized templates, both paths exact
         integer arithmetic). Replaces /root/reference/predict.py:72-131.
+
+        fused_tail picks where the table lookups run (see the field
+        comment): "lookup" reads kernel-emitted raw tables in XLA;
+        "sel"/"sel3" fold the z / all lookups into the kernel itself,
+        shrinking or eliminating the table HBM round-trip. Identical
+        decisions and probabilities on every slot (selection uses the
+        same clamped indices).
         """
         from radarml_tpu.ops.pallas_i8_score import (
             build_onepass_weights,
+            onepass_scores_i8,
             onepass_tables_i8,
+            onepass_tables_sel_i8,
         )
 
+        tail = self.fused_tail
         scan = self.scan_arena
         quant = self._quantized_split_templates()
         weights = build_onepass_weights(
-            quant, (scan.size_x, scan.size_y, scan.size_z)
+            quant, (scan.size_x, scan.size_y, scan.size_z),
+            pad_x=(tail == "sel3"),
         )
         scales = [
             (q[1], q[2], q[3]) if q is not None else None for q in quant
@@ -496,20 +523,42 @@ class RadarPredictor:
             s1, s2, const = sc
             return r[..., :C] * s1 + r[..., C:] * s2 + const
 
+        def selected(s, T):
+            """Kernel-selected (C2, Tp, B) block → (B, T, C2) f32."""
+            return s[:, :T, :].transpose(2, 1, 0).astype(jnp.float32)
+
         @jax.jit
         def predict_packed(cube_k, target_xyz, target_valid):
             B, T = target_xyz.shape[:2]
-            m1, m2, m3 = onepass_tables_i8(
-                cube_k, weights, interpret=interpret
-            )
             ijk = idx_fn(target_xyz).astype(jnp.int32)
             dec = jnp.broadcast_to(intercept[None, None, :], (B, T, C))
-            if scales[0] is not None:
-                dec = dec + combine(lookup_c2d(m1, ijk[..., 1]), scales[0])
-            if scales[1] is not None:
-                dec = dec + combine(lookup_c2d(m2, ijk[..., 0]), scales[1])
-            if scales[2] is not None:
-                dec = dec + combine(lookup_dc2(m3, ijk[..., 2]), scales[2])
+            if tail == "sel3":
+                s1, s2, s3 = onepass_scores_i8(
+                    cube_k, weights, ijk, interpret=interpret
+                )
+                reads = [selected(s, T) for s in (s1, s2, s3)]
+            else:
+                if tail == "sel":
+                    m1, m2, d3 = onepass_tables_sel_i8(
+                        cube_k, weights, ijk[..., 2], interpret=interpret
+                    )
+                    r3 = selected(d3, T)
+                else:
+                    m1, m2, m3 = onepass_tables_i8(
+                        cube_k, weights, interpret=interpret
+                    )
+                    r3 = (
+                        lookup_dc2(m3, ijk[..., 2])
+                        if scales[2] is not None else None
+                    )
+                reads = [
+                    lookup_c2d(m1, ijk[..., 1]),
+                    lookup_c2d(m2, ijk[..., 0]),
+                    r3,
+                ]
+            for r, sc in zip(reads, scales):
+                if sc is not None and r is not None:
+                    dec = dec + combine(r, sc)
             dec = dec.reshape(B * T, C)
             if calib is not None:
                 proba = calibrated_from_decision(dec, calib)

@@ -174,13 +174,15 @@ def _scan_fixture(rng, B=4, T=3):
     return cubes, xyz, jnp.ones((B, T), dtype=bool)
 
 
-def test_fused_mode_matches_fast_int8(rng):
+@pytest.mark.parametrize("tail", ["lookup", "sel", "sel3"])
+def test_fused_mode_matches_fast_int8(rng, tail):
     """fused == fast+int8 decisions/probas (same quantized templates,
     both exact integer table arithmetic), through both the packed and
-    the 4-D __call__ ingest paths, at a non-lane-aligned batch."""
+    the 4-D __call__ ingest paths, at a non-lane-aligned batch —
+    for every fused_tail variant."""
     kw = _linear_fixture(rng)
     fast = RadarPredictor(mode="fast", cube_dtype="int8", **kw)
-    fused = RadarPredictor(mode="fused", **kw)
+    fused = RadarPredictor(mode="fused", fused_tail=tail, **kw)
     assert fused.cube_dtype == "int8"
     cubes, xyz, valid = _scan_fixture(rng)
 
@@ -199,7 +201,8 @@ def test_fused_mode_matches_fast_int8(rng):
     assert proba_4.shape == proba_f.shape  # padding sliced back
 
 
-def test_fused_mode_masked_plane(rng):
+@pytest.mark.parametrize("tail", ["lookup", "sel3"])
+def test_fused_mode_masked_plane(rng, tail):
     from radarml_tpu.core.arena import ProjMask
 
     kw = _linear_fixture(rng)
@@ -219,7 +222,7 @@ def test_fused_mode_masked_plane(rng):
     )
     kw.update(model=model, calibration=None, proj_mask=mask)
     fast = RadarPredictor(mode="fast", cube_dtype="int8", **kw)
-    fused = RadarPredictor(mode="fused", **kw)
+    fused = RadarPredictor(mode="fused", fused_tail=tail, **kw)
     cubes, xyz, valid = _scan_fixture(rng)
     pf, _, proba_f = fast(cubes, xyz, valid)
     pk, _, proba_k = fused(fused.pack_host(cubes), xyz, valid)
@@ -238,6 +241,8 @@ def test_fused_mode_validation(rng):
 
         mesh = jax.make_mesh((1,), ("data",))
         RadarPredictor(mode="fused", mesh=mesh, **kw)
+    with pytest.raises(ValueError, match="fused_tail"):
+        RadarPredictor(mode="fused", fused_tail="bogus", **kw)
     fused = RadarPredictor(mode="fused", **kw)
     with pytest.raises(ValueError, match="pack_host"):
         bad = np.zeros((704, 177), np.int8)  # not a multiple of Z
