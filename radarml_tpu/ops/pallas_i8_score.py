@@ -173,17 +173,18 @@ SEL_TP = 8  # target-slot rows pad to the int32 sublane tile
 
 
 def _kernel_sel(
-    cube_ref, w1_ref, w2_ref, w3r_ref, kidx_ref, o1_ref, o2_ref, o3_ref
+    C2, Tp,
+    cube_ref, w1_ref, w2_ref, w3_ref, kidx_ref, o1_ref, o2_ref, o3_ref,
 ):
     """Variant of _kernel that selects the z-table rows in-kernel.
 
-    w3r is the xy weight rows replicated per target slot (row
-    r = c2·Tp + t holds W3[c2]); kidx is the per-scan target z index
-    replicated the same way (kidx[r] = k[t]), VMEM-resident across
-    the whole grid (constant index map). Each step keeps only the
-    rows whose target sits in this z-slice, so the per-target
-    z-decision accumulates on-chip and the (Z, C2, B) table never
-    round-trips HBM — nor does its masked-sum lookup tail.
+    kidx (Tp, B) holds each scan's per-target z index, VMEM-resident
+    across the whole grid (constant index map). Each step computes
+    the C2-row xy dot ONCE (no replicated MXU rows) and expands it
+    per target slot with a VPU broadcast-multiply against the
+    `kidx == z` mask, so only the rows whose target sits in this
+    z-slice accumulate — the (Z, C2, B) table never round-trips HBM,
+    nor does its masked-sum lookup tail.
     """
     z = pl.program_id(0)
     blk = cube_ref[...]  # (X·Yp, B) int8 — this z-slice, all scans
@@ -196,7 +197,9 @@ def _kernel_sel(
 
     p1 = dot(w1_ref[0])
     p2 = dot(w2_ref[0])
-    p3 = dot(w3r_ref[...]) * (kidx_ref[...] == z).astype(jnp.int32)
+    p3c = dot(w3_ref[...])  # (C2, B)
+    m = (kidx_ref[...] == z).astype(jnp.int32)  # (Tp, B)
+    p3 = (p3c[:, None, :] * m[None, :, :]).reshape(C2 * Tp, p3c.shape[-1])
 
     @pl.when(z == 0)
     def _init():
@@ -252,15 +255,12 @@ def _onepass_tables_sel_i8(
     Xr = w2.shape[1] // C2  # X, or Xp for pad_x weights
     T = kidx.shape[1]
     Tp = _round_up(T, SEL_TP)
-    # row r = c2·Tp + t: weights repeat per slot, indices tile per class
-    w3r = jnp.repeat(w3, Tp, axis=0)  # (C2·Tp, X·Yp) int8
     kt = jnp.pad(
         kidx.T.astype(jnp.int32), ((0, Tp - T), (0, B - kidx.shape[0])),
         constant_values=-1,
     )  # (Tp, B)
-    kidxr = jnp.tile(kt, (C2, 1))  # (C2·Tp, B)
     m1, m2, d3 = pl.pallas_call(
-        _kernel_sel,
+        functools.partial(_kernel_sel, C2, Tp),
         grid=(Z,),
         in_specs=[
             pl.BlockSpec((XYp, B), lambda z: (0, z), memory_space=pltpu.VMEM),
@@ -273,10 +273,10 @@ def _onepass_tables_sel_i8(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (C2 * Tp, XYp), lambda z: (0, 0), memory_space=pltpu.VMEM
+                (C2, XYp), lambda z: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
+                (Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
@@ -290,7 +290,7 @@ def _onepass_tables_sel_i8(
             jax.ShapeDtypeStruct((C2 * Tp, B), jnp.int32),
         ],
         interpret=interpret,
-    )(cube_k, w1, w2, w3r, kidxr)
+    )(cube_k, w1, w2, w3, kt)
     return (
         m1.reshape(C2, Yp, B),
         m2.reshape(C2, Xr, B),
@@ -390,7 +390,7 @@ def _onepass_tables_i8(
 
 def _kernel_scores(
     C2, Yp, Xp, Tp,
-    cube_ref, w1_ref, w2_ref, w3r_ref, kidx_ref, ohj_ref, ohi_ref,
+    cube_ref, w1_ref, w2_ref, w3_ref, kidx_ref, ohj_ref, ohi_ref,
     o1_ref, o2_ref, o3_ref, acc1, acc2,
 ):
     """Full in-kernel scoring: tables AND all three lookups on-chip.
@@ -415,7 +415,9 @@ def _kernel_scores(
 
     p1 = dot(w1_ref[0])
     p2 = dot(w2_ref[0])
-    p3 = dot(w3r_ref[...]) * (kidx_ref[...] == z).astype(jnp.int32)
+    p3c = dot(w3_ref[...])  # (C2, B)
+    m = (kidx_ref[...] == z).astype(jnp.int32)  # (Tp, B)
+    p3 = (p3c[:, None, :] * m[None, :, :]).reshape(C2 * Tp, p3c.shape[-1])
 
     @pl.when(z == 0)
     def _init():
@@ -505,8 +507,6 @@ def _onepass_scores_i8(
         ((0, Tp - T), (0, 0), (0, B - ijk.shape[0])),
         constant_values=-1,
     )  # (Tp, 3, B)
-    kidxr = jnp.tile(idx[:, 2, :], (C2, 1))  # (C2·Tp, B)
-    w3r = jnp.repeat(w3, Tp, axis=0)  # (C2·Tp, X·Yp) int8
 
     def onehot(col, D):  # (Tp, B) indices → (Tp·D, B) int32 one-hot
         eq = (
@@ -531,10 +531,10 @@ def _onepass_scores_i8(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (C2 * Tp, XYp), lambda z: (0, 0), memory_space=pltpu.VMEM
+                (C2, XYp), lambda z: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
+                (Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (Tp * Yp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
@@ -558,7 +558,7 @@ def _onepass_scores_i8(
             pltpu.VMEM((C2 * Xp, B), jnp.int32),
         ],
         interpret=interpret,
-    )(cube_k, w1, w2, w3r, kidxr, ohj, ohi)
+    )(cube_k, w1, w2, w3, idx[:, 2, :], ohj, ohi)
     return (
         s1.reshape(C2, Tp, B),
         s2.reshape(C2, Tp, B),
