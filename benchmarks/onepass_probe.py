@@ -65,7 +65,7 @@ def main():
     )
     from radarml_tpu.ops.features import process_samples
     from radarml_tpu.ops.pallas_i8_score import (
-        build_onepass_weights, onepass_tables_i8, pack_cubes_i8,
+        build_onepass_weights, onepass_tables_i8,
     )
 
     samples, labels = make_dataset(90, seed=11)
@@ -94,10 +94,14 @@ def main():
     xyz = jax.device_put(xyz_np)
     valid = jax.device_put(valid_np)
     cubes_i8 = jax.device_put(encode_int8_cubes(cubes_np))
-    cube_k = jax.device_put(pack_cubes_i8(cubes_np.astype(np.uint8)))
+    # fused wire layouts are tail-specific (sel3 packs y-grouped)
+    packed = {
+        name: jax.device_put(p.pack_host(cubes_np.astype(np.uint8)))
+        for name, p in predictors.items() if name != "fast_i8"
+    }
 
     def inputs(name):
-        return (cubes_i8 if name == "fast_i8" else cube_k, xyz, valid)
+        return (cubes_i8 if name == "fast_i8" else packed[name], xyz, valid)
 
     # warmup + agreement check (all paths share the same quantized
     # templates and exact integer table arithmetic)
@@ -124,6 +128,7 @@ def main():
     a = DEFAULT_ARENA
     w = build_onepass_weights(quant, (a.size_x, a.size_y, a.size_z))
     tab = jax.jit(lambda ck: onepass_tables_i8(ck, w))
+    cube_k = packed["fused"]  # ungrouped layout, matches w
     _ = jax.device_get(tab(cube_k)[0][:1])
     r_tab = BATCH / slope(lambda: tab(cube_k),
                           lambda o: jax.device_get(o[0][:1, :1]))

@@ -465,6 +465,7 @@ class RadarPredictor:
         same clamped indices).
         """
         from radarml_tpu.ops.pallas_i8_score import (
+            build_grouped_weights,
             build_onepass_weights,
             onepass_scores_i8,
             onepass_tables_i8,
@@ -474,10 +475,13 @@ class RadarPredictor:
         tail = self.fused_tail
         scan = self.scan_arena
         quant = self._quantized_split_templates()
-        weights = build_onepass_weights(
-            quant, (scan.size_x, scan.size_y, scan.size_z),
-            pad_x=(tail == "sel3"),
-        )
+        dims = (scan.size_x, scan.size_y, scan.size_z)
+        if tail == "sel3":
+            # y-grouped layout: ~30% less dense-MXU waste (ops module
+            # docstring); the pack wire format follows self._y_group.
+            weights = build_grouped_weights(quant, dims)
+        else:
+            weights = build_onepass_weights(quant, dims)
         scales = [
             (q[1], q[2], q[3]) if q is not None else None for q in quant
         ]
@@ -715,11 +719,24 @@ class RadarPredictor:
         scans padded to the lane tile) — see ops/pallas_i8_score.
         Bulk paths call this once per batch; __call__ accepts the
         result directly and also 4-D cubes (packed on device at the
-        cost of one extra stream pass).
+        cost of one extra stream pass). The row order follows this
+        predictor's fused_tail (sel3 uses the y-grouped layout) —
+        pack with the SAME predictor that will consume the batch.
         """
         from radarml_tpu.ops.pallas_i8_score import pack_cubes_i8
 
-        return pack_cubes_i8(cubes)
+        return pack_cubes_i8(cubes, y_group=self._pack_y_group)
+
+    @property
+    def _pack_y_group(self) -> Optional[int]:
+        """y_group of the fused wire layout (None = one full group)."""
+        if self.mode == "fused" and self.fused_tail == "sel3":
+            from radarml_tpu.ops.pallas_i8_score import best_y_group
+
+            return best_y_group(
+                self.scan_arena.size_x, self.scan_arena.size_y
+            )
+        return None
 
     def __call__(
         self,
@@ -767,7 +784,9 @@ class RadarPredictor:
 
         Z = self.scan_arena.size_z
         if getattr(cubes, "ndim", None) == 4:
-            cube_k = pack_cubes_i8_device(encode_int8_cubes(cubes))
+            cube_k = pack_cubes_i8_device(
+                encode_int8_cubes(cubes), y_group=self._pack_y_group
+            )
         else:
             cube_k = jnp.asarray(cubes)
             if cube_k.dtype != jnp.int8 or cube_k.shape[1] % Z:

@@ -65,6 +65,9 @@ __all__ = [
     "build_onepass_weights",
     "onepass_tables_i8",
     "onepass_tables_sel_i8",
+    "GroupedWeights",
+    "best_y_group",
+    "build_grouped_weights",
     "onepass_scores_i8",
     "SEL_TP",
 ]
@@ -86,12 +89,19 @@ class OnepassWeights(NamedTuple):
     dims: Tuple[int, int, int, int]  # (X, Y, Z, C)
 
 
-def pack_cubes_i8(cubes: np.ndarray) -> np.ndarray:
+def pack_cubes_i8(
+    cubes: np.ndarray, y_group: Optional[int] = None
+) -> np.ndarray:
     """(B, X, Y, Z) integer-valued cubes → (X·Yp, Z·B) int8, value-128.
 
     Host-side packing for the kernel's scan-minor layout. Accepts
     uint8 (zero-copy xor-msb reinterpret), int8 wire format
     (already value-128), or any 0..255 integer-valued array.
+
+    y_group (default: one full-Yp group) splits the y rows into
+    NG = Yp/Yg groups for the grouped scores kernel: row order becomes
+    (g, x, y%Yg) instead of (x, y) — same byte count, and identical
+    bytes when y_group=Yp. Must match the kernel weights' y_group.
     """
     cubes = np.asarray(cubes)
     if cubes.dtype == np.int8:
@@ -101,31 +111,39 @@ def pack_cubes_i8(cubes: np.ndarray) -> np.ndarray:
         v = (u8 ^ np.uint8(0x80)).view(np.int8)
     B, X, Y, Z = v.shape
     Yp = _round_up(Y, _SUBLANE)
+    Yg = y_group or Yp
+    NG = Yp // Yg
     Bp = _round_up(B, _LANE)  # scan lanes must tile; pads are unread
     out = np.zeros((X, Yp, Z, Bp), np.int8)
     out[:, :Y, :, :B] = np.transpose(v, (1, 2, 3, 0))
-    return out.reshape(X * Yp, Z * Bp)
+    out = out.reshape(X, NG, Yg, Z, Bp).transpose(1, 0, 2, 3, 4)
+    return np.ascontiguousarray(out).reshape(X * Yp, Z * Bp)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def pack_cubes_i8_device(cubes: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("y_group",))
+def pack_cubes_i8_device(
+    cubes: jax.Array, y_group: Optional[int] = None
+) -> jax.Array:
     """Device-side pack: (B, X, Y, Z) int8 (value-128) → (X·Yp, Z·B).
 
     One extra device pass over the stream — use host packing where
     the batch originates on host (serving ingest packs for free).
+    y_group as in pack_cubes_i8.
     """
     B, X, Y, Z = cubes.shape
     Yp = _round_up(Y, _SUBLANE)
+    Yg = y_group or Yp
+    NG = Yp // Yg
     Bp = _round_up(B, _LANE)
     t = jnp.transpose(cubes, (1, 2, 3, 0))
     t = jnp.pad(t, ((0, 0), (0, Yp - Y), (0, 0), (0, Bp - B)))
+    t = t.reshape(X, NG, Yg, Z, Bp).transpose(1, 0, 2, 3, 4)
     return t.reshape(X * Yp, Z * Bp)
 
 
 def build_onepass_weights(
     quant: Sequence[Optional[tuple]],
     dims: Tuple[int, int, int],
-    pad_x: bool = False,
 ) -> OnepassWeights:
     """Per-z block-structured int8 weights from quantized templates.
 
@@ -134,17 +152,12 @@ def build_onepass_weights(
     (q (2C,·,·) int8, s1, s2, const) — None for a masked plane, whose
     weights stay zero so the plane contributes nothing.
     dims: (X, Y, Z) of the scan arena grid.
-    pad_x: pad the per-class w2 row blocks X→⌈X/32⌉·32 (required by
-    onepass_scores_i8, whose in-kernel x-selection needs a
-    sublane-aligned (C2, Xp, B) view of the accumulator; the pad rows
-    carry zero weights and are never selected).
     """
     X, Y, Z = dims
     Yp = _round_up(Y, _SUBLANE)
-    Xp = _round_up(X, _SUBLANE) if pad_x else X
     C2 = next(np.asarray(q[0]).shape[0] for q in quant if q is not None)
     w1 = np.zeros((Z, C2 * Yp, X * Yp), np.int8)
-    w2 = np.zeros((Z, C2 * Xp, X * Yp), np.int8)
+    w2 = np.zeros((Z, C2 * X, X * Yp), np.int8)
     w3 = np.zeros((C2, X * Yp), np.int8)
     if quant[0] is not None:  # xz plane: (C2, X, Z)
         q = np.asarray(quant[0][0])
@@ -155,8 +168,8 @@ def build_onepass_weights(
     if quant[1] is not None:  # yz plane: (C2, Y, Z)
         q = np.asarray(quant[1][0])
         qz = np.transpose(q, (2, 0, 1))  # (Z, C2, Y)
-        w2v = w2.reshape(Z, C2, Xp, X, Yp)
-        for x in range(X):  # w2[z, c·Xp + x, x·Yp + y] = q[c, y, z]
+        w2v = w2.reshape(Z, C2, X, X, Yp)
+        for x in range(X):  # w2[z, c·X + x, x·Yp + y] = q[c, y, z]
             w2v[:, :, x, x, :Y] = qz
     if quant[2] is not None:  # xy plane: (C2, X, Y)
         q = np.asarray(quant[2][0])
@@ -388,24 +401,104 @@ def _onepass_tables_i8(
     return m1.reshape(C2, Yp, B), m2.reshape(C2, Xr, B), m3
 
 
+
+
+class GroupedWeights(NamedTuple):
+    """Operands for the y-grouped full-scoring kernel.
+
+    The y axis splits into NG groups of Yg rows (NG·Yg = Yp), shrinking
+    each step's contraction from K = X·Yp to K = X·Yg. The xz weights'
+    δ_{y,y'} block-diagonal wastes MACs proportional to the y span per
+    block, so smaller groups cut dense-MXU waste: at Yg=16 the m1 dot
+    drops from 192×704 to 96×352 per z-slice-equivalent (~2× fewer
+    MACs) while m2/m3 MACs stay constant — ~30% less total MXU work
+    for the DEFAULT_ARENA shapes.
+    """
+
+    w1: jax.Array  # (Z, NG, C2·Yg, X·Yg) int8 — per-(z, group) xz
+    w2: jax.Array  # (Z, NG, C2·X, X·Yg) int8 — per-(z, group) yz
+    w3: jax.Array  # (NG, C2, X·Yg) int8 — per-group xy (z-constant)
+    dims: Tuple[int, int, int, int]  # (X, Y, Z, C)
+    y_group: int
+
+
+def best_y_group(X: int, Y: int) -> int:
+    """Largest MXU win the tiling allows: Yg=16 when the grouped row
+    blocks stay int8-sublane aligned, else one full-Yp group."""
+    Yp = _round_up(Y, _SUBLANE)
+    if Yp % 16 == 0 and (X * 16) % _SUBLANE == 0:
+        return 16
+    return Yp
+
+
+def build_grouped_weights(
+    quant: Sequence[Optional[tuple]],
+    dims: Tuple[int, int, int],
+    y_group: Optional[int] = None,
+) -> GroupedWeights:
+    """Grouped-layout int8 weights (see GroupedWeights) from the
+    quantized templates of build_onepass_weights."""
+    X, Y, Z = dims
+    Yp = _round_up(Y, _SUBLANE)
+    Yg = y_group or best_y_group(X, Y)
+    if Yp % Yg or (X * Yg) % _SUBLANE:
+        raise ValueError(
+            f"y_group {Yg} must divide Yp {Yp} with X*Yg a multiple "
+            f"of {_SUBLANE} (X={X})"
+        )
+    NG = Yp // Yg
+    C2 = next(np.asarray(q[0]).shape[0] for q in quant if q is not None)
+    w1 = np.zeros((Z, NG, C2 * Yg, X * Yg), np.int8)
+    w2 = np.zeros((Z, NG, C2 * X, X * Yg), np.int8)
+    w3 = np.zeros((NG, C2, X * Yg), np.int8)
+    if quant[0] is not None:  # xz plane: (C2, X, Z)
+        qz = np.transpose(np.asarray(quant[0][0]), (2, 0, 1))  # (Z, C2, X)
+        w1v = w1.reshape(Z, NG, C2, Yg, X, Yg)
+        for y in range(Y):  # w1[z, g, c·Yg+y', x·Yg+y'] = q[c, x, z]
+            w1v[:, y // Yg, :, y % Yg, :, y % Yg] = qz
+    if quant[1] is not None:  # yz plane: (C2, Y, Z)
+        q = np.asarray(quant[1][0])
+        w2v = w2.reshape(Z, NG, C2, X, X, Yg)
+        for x in range(X):  # w2[z, g, c·X+x, x·Yg+y'] = q[c, g·Yg+y', z]
+            for g in range(NG):
+                ys = min(Y - g * Yg, Yg)
+                if ys > 0:
+                    w2v[:, g, :, x, x, :ys] = np.transpose(
+                        q[:, g * Yg:g * Yg + ys, :], (2, 0, 1)
+                    )
+    if quant[2] is not None:  # xy plane: (C2, X, Y)
+        q = np.asarray(quant[2][0])
+        w3v = w3.reshape(NG, C2, X, Yg)
+        for g in range(NG):
+            ys = min(Y - g * Yg, Yg)
+            if ys > 0:
+                w3v[g, :, :, :ys] = q[:, :, g * Yg:g * Yg + ys]
+    return GroupedWeights(
+        w1=jnp.asarray(w1), w2=jnp.asarray(w2), w3=jnp.asarray(w3),
+        dims=(X, Y, Z, C2 // 2), y_group=Yg,
+    )
+
+
 def _kernel_scores(
-    C2, Yp, Xp, Tp,
-    cube_ref, w1_ref, w2_ref, w3_ref, kidx_ref, ohj_ref, ohi_ref,
+    C2, Tp, NG, Yg, X,
+    cube_ref, w1_ref, w2_ref, w3_ref, kidx_ref, rows1_ref, rows2_ref,
     o1_ref, o2_ref, o3_ref, acc1, acc2,
 ):
-    """Full in-kernel scoring: tables AND all three lookups on-chip.
+    """Full in-kernel scoring over a (Z, NG) grid.
 
-    Like _kernel_sel for the z axis (per-step program_id mask), plus:
-    m1/m2 accumulate in VMEM *scratch* (never reaching HBM), and at
-    the last z-step each target's (y, x) rows are selected with
-    precomputed one-hot operands ohj (Tp·Yp, B) / ohi (Tp·Xp, B) —
-    a per-class broadcast-multiply-reduce over the sublane dim. The
-    only HBM outputs are the three (C2·Tp, B) selected score blocks;
+    m1/m2 accumulate in VMEM scratch (m1 per y-group via a dynamic
+    leading index; m2 across the whole grid); the z rows select
+    per-step against program_id exactly like _kernel_sel. At the last
+    step each target's (y, x) rows are read out of the accumulators
+    with full-row masked sums against precomputed row indices (rows1
+    encodes group+class+offset, rows2 class+x; -1 selects nothing).
+    The kernel's only HBM outputs are three (C2·Tp, B) score blocks —
     the XLA tail is dequantize + calibrate on (B, T, C) scalars.
     """
     z = pl.program_id(0)
+    g = pl.program_id(1)
     nz = pl.num_programs(0)
-    blk = cube_ref[...]  # (X·Yp, B) int8 — this z-slice, all scans
+    blk = cube_ref[...]  # (X·Yg, B) int8 — this (z, group), all scans
     dn = (((1,), (0,)), ((), ()))
 
     def dot(w):
@@ -413,51 +506,59 @@ def _kernel_scores(
             w, blk, dn, preferred_element_type=jnp.int32
         )
 
-    p1 = dot(w1_ref[0])
-    p2 = dot(w2_ref[0])
-    p3c = dot(w3_ref[...])  # (C2, B)
+    p1 = dot(w1_ref[0, 0])
+    p2 = dot(w2_ref[0, 0])
+    p3c = dot(w3_ref[0])  # (C2, B)
     m = (kidx_ref[...] == z).astype(jnp.int32)  # (Tp, B)
     p3 = (p3c[:, None, :] * m[None, :, :]).reshape(C2 * Tp, p3c.shape[-1])
 
     @pl.when(z == 0)
-    def _init():
-        acc1[...] = p1
+    def _init1():
+        acc1[g] = p1
+
+    @pl.when(z != 0)
+    def _acc1():
+        acc1[g] += p1
+
+    first = jnp.logical_and(z == 0, g == 0)
+
+    @pl.when(first)
+    def _init23():
         acc2[...] = p2
         o3_ref[...] = p3
 
-    @pl.when(z != 0)
-    def _acc():
-        acc1[...] += p1
+    @pl.when(jnp.logical_not(first))
+    def _acc23():
         acc2[...] += p2
         o3_ref[...] += p3
 
-    @pl.when(z == nz - 1)
+    @pl.when(jnp.logical_and(z == nz - 1, g == NG - 1))
     def _select():
-        a1 = acc1[...].reshape(C2, Yp, acc1.shape[-1])
-        a2 = acc2[...].reshape(C2, Xp, acc2.shape[-1])
-        ohj = ohj_ref[...].reshape(Tp, Yp, ohj_ref.shape[-1])
-        ohi = ohi_ref[...].reshape(Tp, Xp, ohi_ref.shape[-1])
-        for c2 in range(C2):
-            o1_ref[c2 * Tp:(c2 + 1) * Tp, :] = jnp.sum(
-                a1[c2][None, :, :] * ohj, axis=1
-            )
-            o2_ref[c2 * Tp:(c2 + 1) * Tp, :] = jnp.sum(
-                a2[c2][None, :, :] * ohi, axis=1
-            )
+        B = p1.shape[-1]
+        a1 = acc1[...].reshape(NG * C2 * Yg, B)
+        a2 = acc2[...]
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (NG * C2 * Yg, B), 0)
+        i2 = jax.lax.broadcasted_iota(jnp.int32, (C2 * X, B), 0)
+        for r in range(C2 * Tp):
+            m1 = (i1 == rows1_ref[r:r + 1, :]).astype(jnp.int32)
+            o1_ref[r:r + 1, :] = jnp.sum(a1 * m1, axis=0, keepdims=True)
+            m2 = (i2 == rows2_ref[r:r + 1, :]).astype(jnp.int32)
+            o2_ref[r:r + 1, :] = jnp.sum(a2 * m2, axis=0, keepdims=True)
 
 
 def onepass_scores_i8(
     cube_k: jax.Array,
-    weights: OnepassWeights,
+    weights: GroupedWeights,
     ijk: jax.Array,
     valid: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One-read int8 scoring with ALL table lookups folded in-kernel.
 
-    weights must be built with pad_x=True. ijk: (B, T, 3) int32
-    per-target (i=x, j=y, k=z) cell indices; valid: optional (B, T)
-    bool — invalid slots select nothing and return zero rows.
+    cube_k must be packed with the SAME y_group as the weights
+    (pack_cubes_i8(cubes, y_group=weights.y_group)). ijk: (B, T, 3)
+    int32 per-target (i=x, j=y, k=z) cell indices; valid: optional
+    (B, T) bool — invalid slots select nothing and return zero rows.
 
     Returns (s1, s2, s3), each (C2, Tp, B) int32: the per-target
     table reads M1[c,j], M2[c,i], M3[k,c] already selected. Slice
@@ -466,17 +567,21 @@ def onepass_scores_i8(
     scales + intercept + calibration on (B, T, C) scalars. Replaces
     the per-target table-read loop of /root/reference/predict.py:103-119.
     """
-    B, T = ijk.shape[:2]
+    if not isinstance(weights, GroupedWeights):
+        raise TypeError("onepass_scores_i8 takes GroupedWeights "
+                        "(build_grouped_weights)")
     idx = ijk.astype(jnp.int32)
     if valid is not None:
         idx = jnp.where(valid[..., None], idx, -1)
     return _onepass_scores_i8(
-        cube_k, weights.w1, weights.w2, weights.w3,
-        idx, dims=weights.dims, interpret=interpret,
+        cube_k, weights.w1, weights.w2, weights.w3, idx,
+        dims=weights.dims, y_group=weights.y_group, interpret=interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("dims", "y_group", "interpret")
+)
 def _onepass_scores_i8(
     cube_k: jax.Array,
     w1: jax.Array,
@@ -484,17 +589,14 @@ def _onepass_scores_i8(
     w3: jax.Array,
     ijk: jax.Array,
     dims: Tuple[int, int, int, int],
+    y_group: int,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     X, Y, Z, C = dims
     C2 = 2 * C
     Yp = _round_up(Y, _SUBLANE)
-    Xp = w2.shape[1] // C2
-    if Xp % _SUBLANE:
-        raise ValueError(
-            "onepass_scores_i8 needs pad_x=True weights "
-            f"(w2 class rows {Xp} not a multiple of {_SUBLANE})"
-        )
+    Yg = y_group
+    NG = Yp // Yg
     XYp, ZB = cube_k.shape
     if XYp != X * Yp or ZB % Z:
         raise ValueError(f"packed cube shape {cube_k.shape} does not "
@@ -507,46 +609,48 @@ def _onepass_scores_i8(
         ((0, Tp - T), (0, 0), (0, B - ijk.shape[0])),
         constant_values=-1,
     )  # (Tp, 3, B)
-
-    def onehot(col, D):  # (Tp, B) indices → (Tp·D, B) int32 one-hot
-        eq = (
-            jax.lax.broadcasted_iota(jnp.int32, (Tp, D, B), 1)
-            == idx[:, col, :][:, None, :]
-        )
-        return eq.astype(jnp.int32).reshape(Tp * D, B)
-
-    ohj = onehot(1, Yp)
-    ohi = onehot(0, Xp)
+    ii, jj, kk = idx[:, 0, :], idx[:, 1, :], idx[:, 2, :]
+    c2r = jnp.arange(C2, dtype=jnp.int32)[:, None, None]
+    rows1 = jnp.where(
+        jj[None] < 0, -1,
+        (jj[None] // Yg) * (C2 * Yg) + c2r * Yg + jj[None] % Yg,
+    ).reshape(C2 * Tp, B)
+    rows2 = jnp.where(ii[None] < 0, -1, c2r * X + ii[None]).reshape(
+        C2 * Tp, B
+    )
     s1, s2, s3 = pl.pallas_call(
-        functools.partial(_kernel_scores, C2, Yp, Xp, Tp),
-        grid=(Z,),
+        functools.partial(_kernel_scores, C2, Tp, NG, Yg, X),
+        grid=(Z, NG),
         in_specs=[
-            pl.BlockSpec((XYp, B), lambda z: (0, z), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, C2 * Yp, XYp), lambda z: (z, 0, 0),
+                (X * Yg, B), lambda z, g: (g, z), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, C2 * Yg, X * Yg), lambda z, g: (z, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, C2 * Xp, XYp), lambda z: (z, 0, 0),
+                (1, 1, C2 * X, X * Yg), lambda z, g: (z, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (C2, XYp), lambda z: (0, 0), memory_space=pltpu.VMEM
+                (1, C2, X * Yg), lambda z, g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (Tp * Yp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (Tp * Xp, B), lambda z: (0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((Tp, B), lambda z, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * Tp, B), lambda z, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * Tp, B), lambda z, g: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C2 * Tp, B), lambda z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * Tp, B), lambda z, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * Tp, B), lambda z, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * Tp, B), lambda z, g: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C2 * Tp, B), jnp.int32),
@@ -554,11 +658,11 @@ def _onepass_scores_i8(
             jax.ShapeDtypeStruct((C2 * Tp, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((C2 * Yp, B), jnp.int32),
-            pltpu.VMEM((C2 * Xp, B), jnp.int32),
+            pltpu.VMEM((NG, C2 * Yg, B), jnp.int32),
+            pltpu.VMEM((C2 * X, B), jnp.int32),
         ],
         interpret=interpret,
-    )(cube_k, w1, w2, w3, idx[:, 2, :], ohj, ohi)
+    )(cube_k, w1, w2, w3, kk, rows1, rows2)
     return (
         s1.reshape(C2, Tp, B),
         s2.reshape(C2, Tp, B),

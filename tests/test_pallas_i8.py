@@ -93,22 +93,31 @@ def test_onepass_tables_sel_match_int64_oracle(rng):
     assert not got[:, T:, :].any()
 
 
-def test_onepass_scores_match_int64_oracle(rng):
-    """Full in-kernel selection == oracle table reads at (i, j, k).
+@pytest.mark.parametrize(
+    "dims,want_groups",
+    [((5, 7, 9), 1),     # X*16 unaligned → one full-Yp group
+     ((4, 35, 9), 4)],   # Yp=64, Yg=16 → 4 groups
+)
+def test_onepass_scores_match_int64_oracle(rng, dims, want_groups):
+    """Full in-kernel selection == oracle table reads at (i, j, k),
+    in both the single-group and the y-grouped layouts.
 
     Invalid slots and the Tp pad rows must come back zero."""
-    from radarml_tpu.ops.pallas_i8_score import onepass_scores_i8
+    from radarml_tpu.ops.pallas_i8_score import (
+        build_grouped_weights, onepass_scores_i8,
+    )
 
-    X, Y, Z, C, B, T = 5, 7, 9, 2, 3, 2
+    X, Y, Z = dims
+    C, B, T = 2, 3, 2
     C2 = 2 * C
     q_xz = rng.integers(-127, 128, (C2, X, Z)).astype(np.int8)
     q_yz = rng.integers(-127, 128, (C2, Y, Z)).astype(np.int8)
     q_xy = rng.integers(-127, 128, (C2, X, Y)).astype(np.int8)
     quant = [(q, None, None, None) for q in (q_xz, q_yz, q_xy)]
-    w = build_onepass_weights(quant, (X, Y, Z), pad_x=True)
-    assert w.w2.shape[1] == C2 * 32
+    w = build_grouped_weights(quant, (X, Y, Z))
+    assert w.w1.shape[1] == want_groups
     cubes = rng.integers(0, 256, (B, X, Y, Z)).astype(np.uint8)
-    ck = pack_cubes_i8(cubes)
+    ck = pack_cubes_i8(cubes, y_group=w.y_group)
     ijk = np.stack(
         [rng.integers(0, X, (B, T)), rng.integers(0, Y, (B, T)),
          rng.integers(0, Z, (B, T))], axis=-1
@@ -136,17 +145,6 @@ def test_onepass_scores_match_int64_oracle(rng):
             np.testing.assert_array_equal(got[2][:, t, b], w3v)
     for g in got:  # pad slots beyond T
         assert not g[:, T:, :].any()
-
-    # pad_x weights must leave the plain kernel's tables unchanged
-    m1, m2, m3 = onepass_tables_i8(ck, w, interpret=True)
-    np.testing.assert_array_equal(
-        np.asarray(m1)[:, :Y, :B].astype(np.int64), o1
-    )
-    np.testing.assert_array_equal(
-        np.asarray(m2)[:, :X, :B].astype(np.int64), o2
-    )
-    assert not np.asarray(m2)[:, X:, :].any()
-    np.testing.assert_array_equal(np.asarray(m3)[..., :B].astype(np.int64), o3)
 
 
 def _linear_fixture(rng, n_classes=3):
