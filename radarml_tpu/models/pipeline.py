@@ -18,6 +18,7 @@ the XLA-friendly alternative to data-dependent control flow.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -163,11 +164,6 @@ class RadarPredictor:
                 raise ValueError("fused mode folds linear models only")
             if self.cube_dtype not in ("float32", "int8"):
                 raise ValueError("fused mode streams int8 cubes")
-            if self.mesh is not None:
-                raise ValueError(
-                    "fused mode is a per-chip bulk path; use mode='fast' "
-                    "for mesh-sharded serving"
-                )
             if self.fused_tail not in ("lookup", "sel", "sel3"):
                 raise ValueError(
                     "fused_tail must be 'lookup', 'sel' or 'sel3'"
@@ -783,6 +779,8 @@ class RadarPredictor:
         from radarml_tpu.ops.pallas_i8_score import pack_cubes_i8_device
 
         Z = self.scan_arena.size_z
+        if self.mesh is not None:
+            return self._call_fused_mesh(cubes, target_xyz, target_valid)
         if getattr(cubes, "ndim", None) == 4:
             cube_k = pack_cubes_i8_device(
                 encode_int8_cubes(cubes), y_group=self._pack_y_group
@@ -806,6 +804,67 @@ class RadarPredictor:
         if B != Bp:
             pred, best_p, proba = pred[:B], best_p[:B], proba[:B]
         return pred, best_p, proba
+
+    def _call_fused_mesh(self, cubes, target_xyz, target_valid):
+        """Mesh-sharded fused serving: shard_map over the 'data' axis.
+
+        Scans are embarrassingly parallel, so each chip packs and
+        scores its own shard with the one-read kernel — no
+        collectives; throughput scales with mesh size. Takes 4-D
+        cubes only (the packed wire layout interleaves scans with z,
+        so it cannot be split on the batch axis; pack happens
+        per-shard on device instead).
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from radarml_tpu.ops.pallas_i8_score import pack_cubes_i8_device
+        from radarml_tpu.parallel.mesh import shard_batch
+
+        if getattr(cubes, "ndim", None) != 4:
+            raise ValueError(
+                "fused mesh serving takes (B, X, Y, Z) cubes (the "
+                "packed layout interleaves scans with z and cannot be "
+                "batch-sharded; packing happens per shard)"
+            )
+        n = int(np.prod(self.mesh.devices.shape))
+        B = cubes.shape[0]
+        if B % n:
+            raise ValueError(
+                f"fused mesh serving needs the scan batch ({B}) "
+                f"divisible by the mesh size ({n})"
+            )
+        cubes = encode_int8_cubes(cubes)
+        target_xyz = jnp.asarray(target_xyz, dtype=jnp.float32)
+        T = target_xyz.shape[1]
+        if target_valid is None:
+            target_valid = jnp.ones((B, T), dtype=bool)
+        cubes, target_xyz, target_valid = shard_batch(
+            self.mesh, cubes, target_xyz, target_valid
+        )
+        fn = self._fn
+        yg = self._pack_y_group
+        Z = self.scan_arena.size_z
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+            # pallas_call outputs carry no varying-mesh-axis info
+            check_vma=False,
+        )
+        def run(lc, lx, lv):
+            ck = pack_cubes_i8_device(lc, y_group=yg)
+            Bl = lc.shape[0]
+            Bp = ck.shape[1] // Z
+            if Bl != Bp:  # pack pads scans to the lane tile
+                lx = jnp.pad(lx, ((0, Bp - Bl), (0, 0), (0, 0)))
+                lv = jnp.pad(lv, ((0, Bp - Bl), (0, 0)))
+            pred, best_p, proba = fn(ck, lx, lv)
+            return pred[:Bl], best_p[:Bl], proba[:Bl]
+
+        return run(cubes, target_xyz, target_valid)
 
 
 def pad_targets(

@@ -230,15 +230,33 @@ def test_fused_mode_masked_plane(rng, tail):
     )
 
 
+@pytest.mark.parametrize("tail", ["lookup", "sel3"])
+def test_fused_mesh_matches_single_chip(rng, tail):
+    """Mesh-sharded fused serving (shard_map per-shard pack+score)
+    reproduces the single-device fused path exactly."""
+    import jax
+
+    kw = _linear_fixture(rng)
+    mesh = jax.make_mesh((len(jax.devices()),), ("data",))
+    single = RadarPredictor(mode="fused", fused_tail=tail, **kw)
+    sharded = RadarPredictor(mode="fused", fused_tail=tail, mesh=mesh, **kw)
+    cubes, xyz, valid = _scan_fixture(rng, B=16, T=3)
+
+    p1, b1, pr1 = single(cubes, xyz, valid)
+    p2, b2, pr2 = sharded(cubes, xyz, valid)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(pr2), np.asarray(pr1))
+
+    with pytest.raises(ValueError, match="divisible"):
+        sharded(cubes[:10], xyz[:10], valid[:10])
+    with pytest.raises(ValueError, match="per shard"):
+        sharded(single.pack_host(np.asarray(cubes)), xyz, valid)
+
+
 def test_fused_mode_validation(rng):
     kw = _linear_fixture(rng)
     with pytest.raises(ValueError, match="int8"):
         RadarPredictor(mode="fused", cube_dtype="uint8", **kw)
-    with pytest.raises(ValueError, match="mesh"):
-        import jax
-
-        mesh = jax.make_mesh((1,), ("data",))
-        RadarPredictor(mode="fused", mesh=mesh, **kw)
     with pytest.raises(ValueError, match="fused_tail"):
         RadarPredictor(mode="fused", fused_tail="bogus", **kw)
     fused = RadarPredictor(mode="fused", **kw)
