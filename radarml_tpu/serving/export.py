@@ -37,6 +37,7 @@ def export_predictor(
     path: str,
     max_targets: int = 4,
     platforms: Optional[Sequence[str]] = None,
+    batch: Optional[int] = None,
 ) -> dict:
     """Export a RadarPredictor's jitted program to `path`.
 
@@ -47,6 +48,11 @@ def export_predictor(
             (the batch axis stays symbolic).
         platforms: lowering platforms, e.g. ("tpu", "cpu"). Defaults to
             the current backend only.
+        batch: static scan-batch size — REQUIRED for mode="fused"
+            (scans pad to the kernel's 128-lane tile inside the wire
+            layout, which shape polymorphism cannot express); the
+            exported program takes 4-D cubes and packs on device.
+            Other modes keep the symbolic batch axis and ignore this.
 
     Returns the artifact metadata dict.
     """
@@ -54,9 +60,34 @@ def export_predictor(
     import jax.numpy as jnp
     from jax import export as jexport
 
-    (b,) = jexport.symbolic_shape("b")
     grid = predictor.scan_arena.grid_shape
     cube_dtype = jnp.dtype(predictor.cube_dtype)
+    if predictor.mode == "fused":
+        if batch is None:
+            raise ValueError(
+                "mode='fused' exports need a static batch= (the packed "
+                "wire layout pads scans to the 128-lane tile)"
+            )
+        from radarml_tpu.ops.pallas_i8_score import pack_cubes_i8_device
+
+        inner = predictor._fn
+        yg = predictor._pack_y_group
+        Z = int(grid[2])
+
+        @jax.jit
+        def fn(cubes, xyz, valid):
+            ck = pack_cubes_i8_device(cubes, y_group=yg)
+            B, Bp = cubes.shape[0], ck.shape[1] // Z
+            if B != Bp:
+                xyz = jnp.pad(xyz, ((0, Bp - B), (0, 0), (0, 0)))
+                valid = jnp.pad(valid, ((0, Bp - B), (0, 0)))
+            pred, best_p, proba = inner(ck, xyz, valid)
+            return pred[:B], best_p[:B], proba[:B]
+
+        b = batch
+    else:
+        fn = predictor._fn
+        (b,) = jexport.symbolic_shape("b")
     args = (
         jax.ShapeDtypeStruct((b,) + tuple(grid), cube_dtype),
         jax.ShapeDtypeStruct((b, max_targets, 3), jnp.float32),
@@ -65,7 +96,7 @@ def export_predictor(
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jexport.export(predictor._fn, **kwargs)(*args)
+    exported = jexport.export(fn, **kwargs)(*args)
     meta = {
         "format": FORMAT,
         "mode": predictor.mode,
@@ -74,6 +105,7 @@ def export_predictor(
         "max_targets": int(max_targets),
         "grid_shape": tuple(int(g) for g in grid),
         "platforms": list(exported.platforms),
+        **({"batch": int(batch)} if predictor.mode == "fused" else {}),
     }
     with open(path, "wb") as fp:
         pickle.dump({**meta, "blob": exported.serialize()}, fp)
@@ -95,6 +127,8 @@ class ServingArtifact:
     max_targets: int
     grid_shape: Tuple[int, ...]
     platforms: Tuple[str, ...]
+    # static scan batch for fused-mode artifacts; None = symbolic
+    batch: Optional[int] = None
 
     def encode_host(self, cubes):
         """Narrow a canonical 0..255 host cube to the artifact's baked
@@ -146,4 +180,5 @@ def load_serving_artifact(path: str) -> ServingArtifact:
         max_targets=payload["max_targets"],
         grid_shape=tuple(payload["grid_shape"]),
         platforms=tuple(payload["platforms"]),
+        batch=payload.get("batch"),
     )

@@ -128,3 +128,31 @@ def test_int8_artifact_roundtrip_and_encode_host(tmp_path, predictor):
         got = np.asarray(art(feed, xyz, valid)[2])
         np.testing.assert_allclose(got, want, atol=1e-6)
     assert art.encode_host(cubes).dtype == np.int8
+
+
+def test_fused_artifact_static_batch_roundtrip(tmp_path, predictor):
+    """mode='fused' exports bake a static batch (packed wire layout)
+    and reproduce the live fused predictor bit-for-bit."""
+    import dataclasses
+
+    fused = dataclasses.replace(predictor, mode="fused", cube_dtype="float32")
+    path = str(tmp_path / "fused.rmlx")
+    with pytest.raises(ValueError, match="static batch"):
+        export_predictor(fused, path, max_targets=3)
+    meta = export_predictor(fused, path, max_targets=3, batch=4)
+    assert meta["batch"] == 4
+
+    art = load_serving_artifact(path)
+    assert art.mode == "fused" and art.batch == 4
+
+    rng = np.random.default_rng(2)
+    cubes = np.rint(
+        rng.random((4,) + DEFAULT_ARENA.grid_shape) * 255
+    ).astype(np.float32)
+    xyz, valid = pad_targets(
+        [[(1.0, 2.0, 80.0)]] * 4, max_targets=3
+    )
+    want = fused(cubes, jnp.asarray(xyz), jnp.asarray(valid))
+    got = art(cubes, xyz, valid)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
