@@ -42,7 +42,6 @@ def slope(call, fetch, k_lo=2, k_hi=12, reps=3):
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/radarml_jaxcache")
