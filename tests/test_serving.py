@@ -249,3 +249,16 @@ def test_streaming_narrow_ingest_matches_f32(predictor, rng_module):
     got_u8 = run(fast_u8)
     got_f32 = run(predictor)
     assert got_u8 == got_f32 and len(got_u8) == len(scans)
+
+    # fused mode streams through the same loop (canonical-u8 queue,
+    # on-device pack per batch) with identical decisions
+    fused = RadarPredictor(
+        train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
+        model=predictor.model, calibration=predictor.calibration,
+        min_proba=0.0, mode="fused", fused_tail="sel3",
+    )
+    got_fused = run(fused)
+    assert set(got_fused) == set(got_f32)
+    assert all(
+        got_fused[k][0] == got_f32[k][0] for k in got_f32
+    )  # same labels; probas differ only by template quantization
