@@ -37,7 +37,7 @@ import time
 import numpy as np
 
 
-def _build_predictor(dtype: str, batch_sizes):
+def _build_predictor(dtype: str, batch_sizes, mode: str = "fast"):
     import jax
     import jax.numpy as jnp
 
@@ -56,8 +56,9 @@ def _build_predictor(dtype: str, batch_sizes):
     )
     predictor = RadarPredictor(
         train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
-        model=model, calibration=calib, mode="fast",
-        cube_dtype=dtype, min_proba=0.0,
+        model=model, calibration=calib, mode=mode,
+        cube_dtype=("int8" if mode == "fused" else dtype),
+        min_proba=0.0,
     )
     # Pre-compile every program shape the scenarios will hit so the
     # timed phases never stall on a 30-90 s tunnel compile.
@@ -247,6 +248,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="uint8",
                     choices=["uint8", "int8", "float32"])
+    ap.add_argument("--mode", default="fast", choices=["fast", "fused"],
+                    help="scoring path; fused streams int8 regardless "
+                         "of --dtype (wire stays uint8-narrow either way)")
     ap.add_argument("--duration", type=float, default=8.0,
                     help="seconds of load per scenario")
     ap.add_argument("--clients", type=int, nargs="+", default=[1, 4, 16])
@@ -270,7 +274,7 @@ def main():
     warm_transfers()
 
     predictor = _build_predictor(
-        args.dtype, [1, args.batch_size, args.stream_batch]
+        args.dtype, [1, args.batch_size, args.stream_batch], args.mode
     )
 
     scenarios = []
@@ -295,6 +299,7 @@ def main():
     best = max(scenarios, key=lambda s: s["scans_per_sec"])
     artifact = {
         "dtype": args.dtype,
+        "mode": args.mode,
         "device": str(jax.devices()[0]),
         "grpc": scenarios,
         "streaming": stream,
