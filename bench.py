@@ -174,7 +174,14 @@ def main():
         # one-HBM-pass int8 Pallas kernel over pack_host-packed
         # batches — reads each cube once instead of once per table;
         # the fastest measured path (benchmarks/onepass_probe.py).
+        # The three tails are decision-identical and differ in where
+        # the table lookups run (XLA masked sums / z-selection
+        # in-kernel / everything in-kernel on a y-grouped grid) —
+        # benching all three lets the best variant win the headline
+        # and gracefully skips any that a Mosaic version rejects.
         "fused": RadarPredictor(mode="fused", **kw),
+        "fused_sel": RadarPredictor(mode="fused", fused_tail="sel", **kw),
+        "fused_sel3": RadarPredictor(mode="fused", fused_tail="sel3", **kw),
         "pallas": RadarPredictor(mode="pallas", cube_dtype="bfloat16", **kw),
     }
 
@@ -225,7 +232,9 @@ def main():
     # Latency probes run on the fastest SINGLE-SCAN path: the fused
     # kernel is a bulk path (scans ride the lane tile, so one scan
     # pads to 128) — serving single scans uses the fast path.
-    lat_candidates = {k: v for k, v in rates.items() if k != "fused"}
+    lat_candidates = {
+        k: v for k, v in rates.items() if not k.startswith("fused")
+    }
     lat_mode = max(lat_candidates, key=lat_candidates.get)
     predictor = predictors[lat_mode]
 
