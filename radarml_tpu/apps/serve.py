@@ -201,6 +201,9 @@ def main(argv=None) -> dict:
 
         export_predictor(
             predictor, args.export_serving, platforms=("tpu", "cpu"),
+            # fused exports bake a static batch (packed wire layout);
+            # the service scores in --max_batch chunks, so bake that.
+            batch=(args.max_batch if args.mode == "fused" else None),
         )
         return {"exported": args.export_serving}
 

@@ -140,6 +140,13 @@ class ServingArtifact:
     def __call__(self, cubes, xyz, valid):
         import jax.numpy as jnp
 
+        if self.batch is not None and cubes.shape[0] != self.batch:
+            raise ValueError(
+                f"this fused artifact was exported for a static batch "
+                f"of {self.batch} scans, got {cubes.shape[0]} — serve "
+                f"it with --max_batch {self.batch} (the stream pads "
+                f"every batch to that size)"
+            )
         if self.cube_dtype == "int8":
             # The baked program expects the value-128 wire encoding;
             # a straight cast of canonical 0..255 would overflow int8.
