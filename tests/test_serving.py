@@ -257,6 +257,12 @@ def test_streaming_narrow_ingest_matches_f32(predictor, rng_module):
         model=predictor.model, calibration=predictor.calibration,
         min_proba=0.0, mode="fused", fused_tail="sel3",
     )
+    # pre-compile the (max_batch, T) program so the stream's deadline
+    # never races an interpret-mode compile on a loaded host
+    warm = np.zeros((4,) + DEFAULT_ARENA.grid_shape, np.float32)
+    wx = np.zeros((4, 1, 3), np.float32)
+    wv = np.ones((4, 1), bool)
+    np.asarray(fused(warm, wx, wv)[0])
     got_fused = run(fused)
     assert set(got_fused) == set(got_f32)
     assert all(
