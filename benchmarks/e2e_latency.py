@@ -44,7 +44,9 @@ def main():
         a=-jnp.ones((C,), jnp.float32), b=jnp.zeros((C,), jnp.float32)
     )
     results = {}
-    for mode, dtype in (("exact", "float32"), ("fast", "uint8")):
+    for mode, dtype in (
+        ("exact", "float32"), ("fast", "uint8"), ("fast", "int8"),
+    ):
         predictor = RadarPredictor(
             train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
             model=model, calibration=calib, mode=mode,
