@@ -41,9 +41,28 @@ three tables in ONE pass over an int8 cube stream:
     the kernel as s1·hi + s2·lo + 128·Σt (the cube wire format is
     value-128, exactly like cube_dtype="int8").
 
-Arithmetic is exact: int8 inputs, int32 accumulation — the only
-error vs float64 tables is the template quantization already shared
-with the fast int8 path (~1e-5 relative on decisions).
+Three kernels share the design and differ in how much of the
+per-target lookup tail they absorb (models/pipeline fused_tail):
+
+  * onepass_tables_i8 — emits the raw m1/m2/m3 tables; the XLA tail
+    reads them with lane-wise masked sums.
+  * onepass_tables_sel_i8 — the z-table (the largest, (Z, C2, B))
+    never reaches HBM: each step compares the per-target z indices
+    against program_id and accumulates only matching rows, expanding
+    the C2-row xy dot per target slot on the VPU.
+  * onepass_scores_i8 — ALL lookups in-kernel over a y-GROUPED
+    (Z, NG) grid (GroupedWeights): the δ_{y,y'} block-diagonal xz
+    weights waste MACs proportional to the y span per block and the
+    kernel is MXU-bound, so splitting y into Yg=16 groups cuts total
+    MXU work ~30%; m1 accumulates per group in VMEM scratch, m2
+    across the whole grid, and the last step selects every target's
+    rows with full-row masked sums against precomputed row indices.
+    Only three (C2·Tp, B) score blocks reach HBM — the XLA tail is
+    dequantize + calibrate on scalars.
+
+Arithmetic is exact in all three: int8 inputs, int32 accumulation —
+the only error vs float64 tables is the template quantization already
+shared with the fast int8 path (~1e-5 relative on decisions).
 """
 
 from __future__ import annotations
