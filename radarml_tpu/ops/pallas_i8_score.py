@@ -284,7 +284,7 @@ def _onepass_tables_sel_i8(
         raise ValueError(f"packed cube shape {cube_k.shape} does not "
                          f"match arena dims {(X, Y, Z)}")
     B = ZB // Z
-    Xr = w2.shape[1] // C2  # X, or Xp for pad_x weights
+    Xr = w2.shape[1] // C2
     T = kidx.shape[1]
     Tp = _round_up(T, SEL_TP)
     kt = jnp.pad(
@@ -389,7 +389,7 @@ def _onepass_tables_i8(
         raise ValueError(f"packed cube shape {cube_k.shape} does not "
                          f"match arena dims {(X, Y, Z)}")
     B = ZB // Z
-    Xr = w2.shape[1] // C2  # X, or Xp for pad_x weights
+    Xr = w2.shape[1] // C2
     m1, m2, m3 = pl.pallas_call(
         _kernel,
         grid=(Z,),
