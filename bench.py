@@ -207,8 +207,8 @@ def main():
 
     rates = {}
     for name, predictor in predictors.items():
-        cubes = put_cubes(cubes_np, predictor)
         try:
+            cubes = put_cubes(cubes_np, predictor)
             pred, best_p, _ = predictor(cubes, xyz, valid)  # warmup/compile
             _ = jax.device_get(pred[:1])
         except Exception as e:  # keep the bench robust to kernel regressions
