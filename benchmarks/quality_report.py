@@ -41,10 +41,17 @@ def main():
                     help="synthetic-data difficulty (0 = separable; 1 = "
                          "overlapping signatures + clutter + label noise "
                          "so scores land in a discriminative band)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (accuracy is "
+                         "device-independent; use during TPU-tunnel "
+                         "outages)")
     args = ap.parse_args()
     families = set(args.families.split(","))
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from radarml_tpu.apps.common_cli import enable_compile_cache, warm_transfers
 
