@@ -16,16 +16,28 @@ production RadarPredictor API:
 Prints one JSON line. Run on the TPU from the repo root.
 """
 
+import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# Runnable as `python benchmarks/onepass_probe.py` from the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = 2048
 MAX_TARGETS = 4
 
 
+SLOPE_KW = {}
+
+
 def slope(call, fetch, k_lo=2, k_hi=12, reps=3):
+    k_lo = SLOPE_KW.get("k_lo", k_lo)
+    k_hi = SLOPE_KW.get("k_hi", k_hi)
+    reps = SLOPE_KW.get("reps", reps)
     times = {}
     for k in (k_lo, k_hi):
         best = float("inf")
@@ -41,7 +53,21 @@ def slope(call, fetch, k_lo=2, k_hi=12, reps=3):
 
 
 def main():
+    global BATCH
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU backend smoke run (interpret-mode kernels)")
+    args = ap.parse_args()
+    BATCH = args.batch
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        # Interpret-mode kernels are orders of magnitude slower; keep
+        # the smoke run about correctness, not rates.
+        SLOPE_KW.update(k_lo=1, k_hi=2, reps=1)
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/radarml_jaxcache")
@@ -103,43 +129,66 @@ def main():
         return (cubes_i8 if name == "fast_i8" else packed[name], xyz, valid)
 
     # warmup + agreement check (all paths share the same quantized
-    # templates and exact integer table arithmetic)
-    preds, probas = {}, {}
+    # templates and exact integer table arithmetic). Each variant is
+    # isolated: the sel/sel3 kernels push Mosaic features (3D scratch,
+    # dynamic leading index, (Z, NG) grids) that interpret mode can't
+    # vouch for, and one rejection must not cost the whole run.
+    preds, probas, errors = {}, {}, {}
     for name, p in predictors.items():
-        pk, _, prk = p(*inputs(name))
-        preds[name], probas[name] = np.asarray(pk), np.asarray(prk)
-    for name in list(predictors)[1:]:
-        assert np.array_equal(preds[name], preds["fast_i8"]), name
+        try:
+            pk, _, prk = p(*inputs(name))
+            preds[name], probas[name] = np.asarray(pk), np.asarray(prk)
+        except Exception as e:  # noqa: BLE001 — record and keep probing
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+    ref = "fast_i8" if "fast_i8" in preds else next(iter(preds), None)
+    agree = {
+        name: bool(np.array_equal(preds[name], preds[ref]))
+        for name in preds if ref is not None and name != ref
+    }
     derr = max(
-        float(np.max(np.abs(probas[n] - probas["fast_i8"])))
-        for n in list(predictors)[1:]
+        (float(np.max(np.abs(probas[n] - probas[ref])))
+         for n in agree),
+        default=float("nan"),
     )
 
     rates = {}
     for name, p in predictors.items():
-        rates[name] = BATCH / slope(
-            lambda: p(*inputs(name)),
-            lambda o: jax.device_get(o[0][:1]),
-        )
+        if name in errors:
+            continue
+        try:
+            rates[name] = BATCH / slope(
+                lambda: p(*inputs(name)),
+                lambda o: jax.device_get(o[0][:1]),
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # raw kernel without any tail (upper bound for the fused paths)
-    quant = predictors["fused"]._quantized_split_templates()
-    a = DEFAULT_ARENA
-    w = build_onepass_weights(quant, (a.size_x, a.size_y, a.size_z))
-    tab = jax.jit(lambda ck: onepass_tables_i8(ck, w))
-    cube_k = packed["fused"]  # ungrouped layout, matches w
-    _ = jax.device_get(tab(cube_k)[0][:1])
-    r_tab = BATCH / slope(lambda: tab(cube_k),
-                          lambda o: jax.device_get(o[0][:1, :1]))
+    try:
+        quant = predictors["fused"]._quantized_split_templates()
+        a = DEFAULT_ARENA
+        w = build_onepass_weights(quant, (a.size_x, a.size_y, a.size_z))
+        interp = jax.devices()[0].platform != "tpu"
+        tab = jax.jit(lambda ck: onepass_tables_i8(ck, w, interpret=interp))
+        cube_k = packed["fused"]  # ungrouped layout, matches w
+        _ = jax.device_get(tab(cube_k)[0][:1])
+        r_tab = BATCH / slope(lambda: tab(cube_k),
+                              lambda o: jax.device_get(o[0][:1, :1]))
+    except Exception as e:  # noqa: BLE001
+        errors["fused_tables_only"] = f"{type(e).__name__}: {str(e)[:200]}"
+        r_tab = float("nan")
 
-    best = max(rates, key=rates.get)
+    best = max(rates, key=rates.get) if rates else None
     print(json.dumps({
         **{f"scans_per_sec_{k}": round(v, 1) for k, v in rates.items()},
         "scans_per_sec_fused_tables_only": round(r_tab, 1),
         "best": best,
-        "best_over_fast": round(rates[best] / rates["fast_i8"], 3),
-        "pred_agreement": 1.0,
+        "best_over_fast": round(rates[best] / rates["fast_i8"], 3)
+        if best is not None and "fast_i8" in rates else None,
+        "pred_agreement": all(agree.values()) if agree else None,
+        "agreement": agree,
         "max_proba_diff": derr,
+        "errors": errors,
         "batch": BATCH,
         "device": str(jax.devices()[0]),
     }))
