@@ -21,6 +21,7 @@ streaming service.
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 import pickle
 from typing import Callable, Optional, Sequence, Tuple
@@ -29,7 +30,14 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-FORMAT = "radarml_tpu.serving_export.v1"
+FORMAT_V1 = "radarml_tpu.serving_export.v1"  # legacy pickle container
+FORMAT = "radarml_tpu.serving_export.v2"
+# v2 container: MAGIC, one JSON metadata line, then the raw serialized
+# StableHLO blob. No unpickler runs on load, so a ModelReloader
+# watching the path cannot be turned into code execution by whoever
+# can write it (the blob itself is versioned/platform-checked by
+# jax.export on deserialize).
+MAGIC = b"RMLTPU-SERVING\n"
 
 
 def export_predictor(
@@ -108,7 +116,10 @@ def export_predictor(
         **({"batch": int(batch)} if predictor.mode == "fused" else {}),
     }
     with open(path, "wb") as fp:
-        pickle.dump({**meta, "blob": exported.serialize()}, fp)
+        fp.write(MAGIC)
+        fp.write(json.dumps(meta).encode("utf-8"))
+        fp.write(b"\n")
+        fp.write(exported.serialize())
     logger.info(
         "exported serving program to %s (%s, batch symbolic, T=%d)",
         path, meta["platforms"], max_targets,
@@ -165,19 +176,27 @@ class ServingArtifact:
 def load_serving_artifact(path: str) -> ServingArtifact:
     """Load an exported predictor; no model code or weights needed.
 
-    Trust requirement: the artifact is a pickle (metadata wrapping the
-    serialized StableHLO blob), so loading executes the unpickler —
-    only load artifacts from trusted paths. This matches the
-    reference's own deployment story (an sklearn pickle,
-    predict.py:224-227); with `ModelReloader` watching the path,
-    anyone with write access to it controls the serving process.
+    v2 artifacts (the current format) are a JSON metadata line plus the
+    raw serialized StableHLO blob — loading never runs an unpickler, so
+    a `ModelReloader` watching the path is safe against artifact-file
+    writers injecting code. Legacy v1 artifacts are pickles and carry
+    the reference's own trust model (an sklearn pickle,
+    predict.py:224-227): only load v1 files from trusted paths.
     """
     from jax import export as jexport
 
     with open(path, "rb") as fp:
-        payload = pickle.load(fp)
-    if payload.get("format") != FORMAT:
-        raise ValueError(f"not a serving export artifact: {path}")
+        raw = fp.read()
+    if raw.startswith(MAGIC):
+        head, _, blob = raw[len(MAGIC):].partition(b"\n")
+        payload = json.loads(head.decode("utf-8"))
+        if payload.get("format") != FORMAT:
+            raise ValueError(f"not a serving export artifact: {path}")
+        payload["blob"] = blob
+    else:
+        payload = pickle.loads(raw)
+        if payload.get("format") != FORMAT_V1:
+            raise ValueError(f"not a serving export artifact: {path}")
     exported = jexport.deserialize(payload["blob"])
     return ServingArtifact(
         call=exported.call,

@@ -56,6 +56,39 @@ def test_export_roundtrip_bit_parity_and_symbolic_batch(tmp_path, predictor):
         )
 
 
+def test_v2_container_is_pickle_free_and_v1_still_loads(tmp_path, predictor):
+    """v2 = MAGIC + JSON line + raw blob (no unpickler on load); the
+    legacy v1 pickle container keeps loading."""
+    import json
+    import pickle
+
+    from radarml_tpu.serving.export import FORMAT_V1, MAGIC
+
+    path = str(tmp_path / "serving.rmlx")
+    export_predictor(predictor, path, max_targets=4)
+    raw = open(path, "rb").read()
+    assert raw.startswith(MAGIC)
+    head, _, blob = raw[len(MAGIC):].partition(b"\n")
+    meta = json.loads(head.decode("utf-8"))  # header is plain JSON
+    assert meta["format"].endswith(".v2")
+
+    # Re-wrap the same program as a legacy v1 pickle artifact.
+    v1 = tmp_path / "serving_v1.pickle"
+    with open(v1, "wb") as fp:
+        pickle.dump({**meta, "format": FORMAT_V1, "blob": blob}, fp)
+    art = load_serving_artifact(str(v1))
+
+    rng = np.random.default_rng(2)
+    cubes = np.rint(
+        rng.random((3,) + DEFAULT_ARENA.grid_shape) * 255
+    ).astype(np.float32)
+    xyz, valid = pad_targets([[(5.0, 5.0, 100.0)]] * 3, max_targets=4)
+    np.testing.assert_array_equal(
+        np.asarray(load_serving_artifact(path)(cubes, xyz, valid)[0]),
+        np.asarray(art(cubes, xyz, valid)[0]),
+    )
+
+
 def test_load_rejects_non_artifact(tmp_path):
     bogus = tmp_path / "bogus.pickle"
     import pickle
