@@ -20,7 +20,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -31,25 +30,13 @@ BATCH = 2048
 MAX_TARGETS = 4
 
 
-SLOPE_KW = {}
+SLOPE_KW = {}  # --cpu smoke mode shrinks K/reps
 
 
-def slope(call, fetch, k_lo=2, k_hi=12, reps=3):
-    k_lo = SLOPE_KW.get("k_lo", k_lo)
-    k_hi = SLOPE_KW.get("k_hi", k_hi)
-    reps = SLOPE_KW.get("reps", reps)
-    times = {}
-    for k in (k_lo, k_hi):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(k):
-                out = call()
-            fetch(out)
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+def slope(call, fetch):
+    from radarml_tpu.utils.slopetime import slope_time
+
+    return slope_time(call, fetch, **SLOPE_KW)
 
 
 def main():
@@ -119,10 +106,14 @@ def main():
     xyz = jax.device_put(xyz_np)
     valid = jax.device_put(valid_np)
     cubes_i8 = jax.device_put(encode_int8_cubes(cubes_np))
-    # fused wire layouts are tail-specific (sel3 packs y-grouped)
+    # one universal fused wire layout (tail-independent, keyed on the
+    # arena): pack once, serve every tail
+    packed_once = jax.device_put(
+        predictors["fused"].pack_host(cubes_np.astype(np.uint8))
+    )
     packed = {
-        name: jax.device_put(p.pack_host(cubes_np.astype(np.uint8)))
-        for name, p in predictors.items() if name != "fast_i8"
+        name: packed_once
+        for name in predictors if name != "fast_i8"
     }
 
     def inputs(name):
@@ -167,10 +158,13 @@ def main():
     try:
         quant = predictors["fused"]._quantized_split_templates()
         a = DEFAULT_ARENA
-        w = build_onepass_weights(quant, (a.size_x, a.size_y, a.size_z))
+        w = build_onepass_weights(
+            quant, (a.size_x, a.size_y, a.size_z),
+            y_group=predictors["fused"]._pack_y_group,
+        )
         interp = jax.devices()[0].platform != "tpu"
         tab = jax.jit(lambda ck: onepass_tables_i8(ck, w, interpret=interp))
-        cube_k = packed["fused"]  # ungrouped layout, matches w
+        cube_k = packed["fused"]  # same universal wire layout as w
         _ = jax.device_get(tab(cube_k)[0][:1])
         r_tab = BATCH / slope(lambda: tab(cube_k),
                               lambda o: jax.device_get(o[0][:1, :1]))

@@ -162,14 +162,14 @@ class RadarPredictor:
         if self.mode == "fused":
             if not is_linear:
                 raise ValueError("fused mode folds linear models only")
-            if self.cube_dtype not in ("float32", "int8"):
-                raise ValueError("fused mode streams int8 cubes")
             if self.fused_tail not in ("lookup", "sel", "sel3"):
                 raise ValueError(
                     "fused_tail must be 'lookup', 'sel' or 'sel3'"
                 )
             # The kernel's wire format IS int8 (value-128, packed
-            # scan-minor); the default float32 resolves to it.
+            # scan-minor); every requested stream dtype resolves to it
+            # (all four are lossless for 8-bit radar cubes, so a
+            # bfloat16/uint8 request loses nothing).
             object.__setattr__(self, "cube_dtype", "int8")
             object.__setattr__(self, "_fn", self._build_fused())
         elif type(self.model).__name__ == "NeuralClassifier":
@@ -473,11 +473,16 @@ class RadarPredictor:
         quant = self._quantized_split_templates()
         dims = (scan.size_x, scan.size_y, scan.size_z)
         if tail == "sel3":
-            # y-grouped layout: ~30% less dense-MXU waste (ops module
-            # docstring); the pack wire format follows self._y_group.
-            weights = build_grouped_weights(quant, dims)
+            # y-grouped GRID: ~30% less dense-MXU waste (ops module
+            # docstring). All tails share the grouped WIRE layout
+            # (self._pack_y_group), so one packed batch serves any.
+            weights = build_grouped_weights(
+                quant, dims, y_group=self._pack_y_group
+            )
         else:
-            weights = build_onepass_weights(quant, dims)
+            weights = build_onepass_weights(
+                quant, dims, y_group=self._pack_y_group
+            )
         scales = [
             (q[1], q[2], q[3]) if q is not None else None for q in quant
         ]
@@ -715,9 +720,9 @@ class RadarPredictor:
         scans padded to the lane tile) — see ops/pallas_i8_score.
         Bulk paths call this once per batch; __call__ accepts the
         result directly and also 4-D cubes (packed on device at the
-        cost of one extra stream pass). The row order follows this
-        predictor's fused_tail (sel3 uses the y-grouped layout) —
-        pack with the SAME predictor that will consume the batch.
+        cost of one extra stream pass). The row order is the y-grouped
+        layout keyed only on the scan arena (tail-independent, see
+        _pack_y_group) — one packed batch serves every fused_tail.
         """
         from radarml_tpu.ops.pallas_i8_score import pack_cubes_i8
 
@@ -725,8 +730,16 @@ class RadarPredictor:
 
     @property
     def _pack_y_group(self) -> Optional[int]:
-        """y_group of the fused wire layout (None = one full group)."""
-        if self.mode == "fused" and self.fused_tail == "sel3":
+        """y_group of the fused wire layout.
+
+        Tail-INDEPENDENT: every fused tail packs (and builds weights
+        for) the same y-grouped row order, keyed only on the arena —
+        so a batch packed by one predictor scores identically under
+        any fused_tail, and a layout mismatch between tails is
+        impossible. (sel3 additionally runs its grid per group;
+        lookup/sel just consume the permuted K axis.)
+        """
+        if self.mode == "fused":
             from radarml_tpu.ops.pallas_i8_score import best_y_group
 
             return best_y_group(

@@ -163,6 +163,7 @@ def pack_cubes_i8_device(
 def build_onepass_weights(
     quant: Sequence[Optional[tuple]],
     dims: Tuple[int, int, int],
+    y_group: Optional[int] = None,
 ) -> OnepassWeights:
     """Per-z block-structured int8 weights from quantized templates.
 
@@ -171,9 +172,19 @@ def build_onepass_weights(
     (q (2C,·,·) int8, s1, s2, const) — None for a masked plane, whose
     weights stay zero so the plane contributes nothing.
     dims: (X, Y, Z) of the scan arena grid.
+    y_group: wire-layout row order of the packed cubes these weights
+    will contract against (pack_cubes_i8's y_group): the contraction
+    axis column order is (g, x, y%Yg) instead of (x, y). Output rows
+    and results are identical — only the K-axis permutation changes.
+    Lets every fused tail share ONE wire layout (the grouped one the
+    sel3 kernel needs), so a batch packed once serves any tail.
     """
     X, Y, Z = dims
     Yp = _round_up(Y, _SUBLANE)
+    Yg = y_group or Yp
+    if Yp % Yg:
+        raise ValueError(f"y_group {Yg} must divide Yp {Yp}")
+    NG = Yp // Yg
     C2 = next(np.asarray(q[0]).shape[0] for q in quant if q is not None)
     w1 = np.zeros((Z, C2 * Yp, X * Yp), np.int8)
     w2 = np.zeros((Z, C2 * X, X * Yp), np.int8)
@@ -181,18 +192,26 @@ def build_onepass_weights(
     if quant[0] is not None:  # xz plane: (C2, X, Z)
         q = np.asarray(quant[0][0])
         qz = np.transpose(q, (2, 0, 1))  # (Z, C2, X)
-        w1v = w1.reshape(Z, C2, Yp, X, Yp)
-        for y in range(Y):  # w1[z, c·Yp + y, x·Yp + y] = q[c, x, z]
-            w1v[:, :, y, :, y] = qz
+        w1v = w1.reshape(Z, C2, Yp, NG, X, Yg)
+        for y in range(Y):  # w1[z, c·Yp + y, col(x, y)] = q[c, x, z]
+            w1v[:, :, y, y // Yg, :, y % Yg] = qz
     if quant[1] is not None:  # yz plane: (C2, Y, Z)
         q = np.asarray(quant[1][0])
-        qz = np.transpose(q, (2, 0, 1))  # (Z, C2, Y)
-        w2v = w2.reshape(Z, C2, X, X, Yp)
-        for x in range(X):  # w2[z, c·X + x, x·Yp + y] = q[c, y, z]
-            w2v[:, :, x, x, :Y] = qz
+        w2v = w2.reshape(Z, C2, X, NG, X, Yg)
+        for x in range(X):  # w2[z, c·X + x, col(x, y)] = q[c, y, z]
+            for g in range(NG):
+                ys = min(Y - g * Yg, Yg)
+                if ys > 0:
+                    w2v[:, :, x, g, x, :ys] = np.transpose(
+                        q[:, g * Yg:g * Yg + ys, :], (2, 0, 1)
+                    )
     if quant[2] is not None:  # xy plane: (C2, X, Y)
         q = np.asarray(quant[2][0])
-        w3.reshape(C2, X, Yp)[:, :, :Y] = q
+        w3v = w3.reshape(C2, NG, X, Yg)
+        for g in range(NG):
+            ys = min(Y - g * Yg, Yg)
+            if ys > 0:
+                w3v[:, g, :, :ys] = q[:, :, g * Yg:g * Yg + ys]
     return OnepassWeights(
         w1=jnp.asarray(w1),
         w2=jnp.asarray(w2),

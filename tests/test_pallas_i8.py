@@ -253,10 +253,40 @@ def test_fused_mesh_matches_single_chip(rng, tail):
         sharded(single.pack_host(np.asarray(cubes)), xyz, valid)
 
 
+def test_fused_wire_layout_is_tail_independent(rng):
+    """One pack_host batch scores identically under EVERY fused_tail
+    (the wire layout is keyed on the arena, not the tail) — a batch
+    packed by one predictor can never silently mis-score on another."""
+    kw = _linear_fixture(rng)
+    cubes, xyz, valid = _scan_fixture(rng)
+    tails = ["lookup", "sel", "sel3"]
+    preds = {t: RadarPredictor(mode="fused", fused_tail=t, **kw)
+             for t in tails}
+    packed = preds["sel3"].pack_host(cubes)  # pack ONCE
+    got = {t: preds[t](packed, xyz, valid) for t in tails}
+    for t in tails[1:]:
+        np.testing.assert_array_equal(
+            np.asarray(got[t][0]), np.asarray(got[tails[0]][0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[t][2]), np.asarray(got[tails[0]][2])
+        )
+    # and it matches the 4-D ingest of the first tail exactly
+    np.testing.assert_array_equal(
+        np.asarray(preds["lookup"](cubes, xyz, valid)[2]),
+        np.asarray(got["lookup"][2]),
+    )
+
+
 def test_fused_mode_validation(rng):
     kw = _linear_fixture(rng)
-    with pytest.raises(ValueError, match="int8"):
-        RadarPredictor(mode="fused", cube_dtype="uint8", **kw)
+    # every requested stream dtype resolves to the int8 wire format
+    # (all are lossless for 8-bit radar cubes) — the serve CLI's
+    # default bfloat16 must not crash mode=fused
+    for dt in ("uint8", "bfloat16", "float32"):
+        assert RadarPredictor(
+            mode="fused", cube_dtype=dt, **kw
+        ).cube_dtype == "int8"
     with pytest.raises(ValueError, match="fused_tail"):
         RadarPredictor(mode="fused", fused_tail="bogus", **kw)
     fused = RadarPredictor(mode="fused", **kw)
