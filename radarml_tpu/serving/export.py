@@ -151,12 +151,12 @@ class ServingArtifact:
     def __call__(self, cubes, xyz, valid):
         import jax.numpy as jnp
 
-        if self.batch is not None and cubes.shape[0] != self.batch:
+        b = cubes.shape[0]
+        if self.batch is not None and b > self.batch:
             raise ValueError(
                 f"this fused artifact was exported for a static batch "
-                f"of {self.batch} scans, got {cubes.shape[0]} — serve "
-                f"it with --max_batch {self.batch} (the stream pads "
-                f"every batch to that size)"
+                f"of {self.batch} scans, got {b} — score in chunks of "
+                f"{self.batch} (the serve CLI's --max_batch does this)"
             )
         if self.cube_dtype == "int8":
             # The baked program expects the value-128 wire encoding;
@@ -166,22 +166,35 @@ class ServingArtifact:
             cubes = encode_int8_cubes(cubes)
         else:
             cubes = jnp.asarray(cubes, dtype=jnp.dtype(self.cube_dtype))
-        return self.call(
-            cubes,
-            jnp.asarray(xyz, jnp.float32),
-            jnp.asarray(valid, bool),
-        )
+        xyz = jnp.asarray(xyz, jnp.float32)
+        valid = jnp.asarray(valid, bool)
+        if self.batch is not None and b < self.batch:
+            # Smaller batches (the unary gRPC path runs (1, T)) pad up
+            # to the baked shape; pad slots carry valid=False targets
+            # and the outputs slice back, so results are unaffected.
+            pad = self.batch - b
+            cubes = jnp.pad(cubes, ((0, pad),) + ((0, 0),) * (cubes.ndim - 1))
+            xyz = jnp.pad(xyz, ((0, pad), (0, 0), (0, 0)))
+            valid = jnp.pad(valid, ((0, pad), (0, 0)))
+            out = self.call(cubes, xyz, valid)
+            return tuple(o[:b] for o in out)
+        return self.call(cubes, xyz, valid)
 
 
-def load_serving_artifact(path: str) -> ServingArtifact:
+def load_serving_artifact(
+    path: str, allow_v1_pickle: bool = False
+) -> ServingArtifact:
     """Load an exported predictor; no model code or weights needed.
 
     v2 artifacts (the current format) are a JSON metadata line plus the
     raw serialized StableHLO blob — loading never runs an unpickler, so
     a `ModelReloader` watching the path is safe against artifact-file
-    writers injecting code. Legacy v1 artifacts are pickles and carry
-    the reference's own trust model (an sklearn pickle,
-    predict.py:224-227): only load v1 files from trusted paths.
+    writers injecting code. Legacy v1 artifacts are pickles; loading
+    one runs the unpickler (arbitrary code execution for whoever wrote
+    the file), so it requires an explicit `allow_v1_pickle=True` from
+    a caller who trusts the path — the reference's own trust model (an
+    sklearn pickle, predict.py:224-227). Re-export to v2 to drop the
+    requirement.
     """
     from jax import export as jexport
 
@@ -194,6 +207,13 @@ def load_serving_artifact(path: str) -> ServingArtifact:
             raise ValueError(f"not a serving export artifact: {path}")
         payload["blob"] = blob
     else:
+        if not allow_v1_pickle:
+            raise ValueError(
+                f"{path} is not a v2 serving artifact; if it is a "
+                "legacy v1 pickle from a TRUSTED source, pass "
+                "allow_v1_pickle=True (v1 loading executes the "
+                "unpickler) or re-export it to v2"
+            )
         payload = pickle.loads(raw)
         if payload.get("format") != FORMAT_V1:
             raise ValueError(f"not a serving export artifact: {path}")

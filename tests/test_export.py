@@ -72,11 +72,15 @@ def test_v2_container_is_pickle_free_and_v1_still_loads(tmp_path, predictor):
     meta = json.loads(head.decode("utf-8"))  # header is plain JSON
     assert meta["format"].endswith(".v2")
 
-    # Re-wrap the same program as a legacy v1 pickle artifact.
+    # Re-wrap the same program as a legacy v1 pickle artifact: loading
+    # it requires an explicit opt-in (the unpickler runs), and the
+    # default refuses.
     v1 = tmp_path / "serving_v1.pickle"
     with open(v1, "wb") as fp:
         pickle.dump({**meta, "format": FORMAT_V1, "blob": blob}, fp)
-    art = load_serving_artifact(str(v1))
+    with pytest.raises(ValueError, match="allow_v1_pickle"):
+        load_serving_artifact(str(v1))
+    art = load_serving_artifact(str(v1), allow_v1_pickle=True)
 
     rng = np.random.default_rng(2)
     cubes = np.rint(
@@ -189,3 +193,14 @@ def test_fused_artifact_static_batch_roundtrip(tmp_path, predictor):
     got = art(cubes, xyz, valid)
     for w, g in zip(want, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+    # Smaller batches pad up to the baked shape inside the artifact
+    # (the unary gRPC path and warmup run batch 1); larger ones raise.
+    got1 = art(cubes[:1], xyz[:1], valid[:1])
+    for w, g in zip(want, got1):
+        np.testing.assert_array_equal(np.asarray(w)[:1], np.asarray(g))
+    big = np.concatenate([cubes, cubes])
+    xyz2 = np.concatenate([xyz, xyz])
+    valid2 = np.concatenate([valid, valid])
+    with pytest.raises(ValueError, match="chunks"):
+        art(big, xyz2, valid2)
