@@ -82,10 +82,29 @@ def warm_transfers():
         logger.debug("transfer warmup failed", exc_info=True)
 
 
+def _apply_platform(value: str) -> str:
+    """argparse type for --platform: applies the backend choice AT
+    PARSE TIME, before the app touches any device — jax.config must be
+    set before backend initialization, and every app's first device
+    use (warm_transfers) follows its parse_args."""
+    if value:
+        import jax
+
+        jax.config.update("jax_platforms", value)
+    return value
+
+
 def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument(
         "--logging_level", type=str, default="info",
         help='logging level, "info" or "debug"',
+    )
+    parser.add_argument(
+        "--platform", type=_apply_platform, default="",
+        help="force the JAX backend, e.g. 'cpu' — keeps every CLI "
+             "usable host-only during TPU-tunnel outages (the "
+             "JAX_PLATFORMS env var alone does not stick here); "
+             "default: the environment's device",
     )
 
 

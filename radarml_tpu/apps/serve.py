@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve from an AOT artifact written by "
                         "--export_serving instead of building the "
                         "predictor from --svm_model")
+    p.add_argument("--allow_v1_artifact", action="store_true",
+                   help="accept legacy v1 PICKLE serving artifacts "
+                        "(loading runs the unpickler — only for "
+                        "trusted paths; re-export to v2 to avoid)")
     p.add_argument("--grpc_port", type=int, default=-1,
                    help="serve classifications over gRPC on this port "
                         "(0 = auto-pick) instead of running the local "
@@ -126,7 +130,10 @@ def main(argv=None) -> dict:
         if args.serving_artifact:
             from radarml_tpu.serving import load_serving_artifact
 
-            p = load_serving_artifact(args.serving_artifact)
+            p = load_serving_artifact(
+                args.serving_artifact,
+                allow_v1_pickle=args.allow_v1_artifact,
+            )
             logger.info(
                 "serving from AOT artifact %s (mode=%s, platforms=%s)",
                 args.serving_artifact, p.mode, p.platforms,
@@ -148,6 +155,19 @@ def main(argv=None) -> dict:
         )
 
     predictor = build_predictor()
+
+    # A fused AOT artifact bakes a static batch; smaller batches pad up
+    # inside ServingArtifact, but LARGER ones cannot run — clamp the
+    # service's batch knobs so every served shape fits.
+    baked = getattr(predictor, "batch", None)
+    if baked:
+        for knob in ("max_batch", "grpc_batch_size"):
+            if getattr(args, knob) > baked:
+                logger.warning(
+                    "--%s %d exceeds the artifact's baked batch %d; "
+                    "clamping", knob, getattr(args, knob), baked,
+                )
+                setattr(args, knob, baked)
 
     swap_targets = []  # objects whose .predictor / set_predictor to update
 
@@ -200,7 +220,13 @@ def main(argv=None) -> dict:
         from radarml_tpu.serving import export_predictor
 
         export_predictor(
-            predictor, args.export_serving, platforms=("tpu", "cpu"),
+            predictor, args.export_serving,
+            # fused mode is a Mosaic kernel: it only lowers for the
+            # backend it was built against (interpret on CPU, Mosaic
+            # on TPU), so export for the current backend only — a
+            # multi-platform lowering would fail on TPU and silently
+            # embed the slow interpreted kernel on CPU.
+            platforms=(None if args.mode == "fused" else ("tpu", "cpu")),
             # fused exports bake a static batch (packed wire layout);
             # the service scores in --max_batch chunks, so bake that.
             batch=(args.max_batch if args.mode == "fused" else None),

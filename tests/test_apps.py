@@ -227,6 +227,24 @@ def test_serve_app_streams_detections(workdir, trained):
     assert stats["latency_p50_ms"] > 0
 
 
+def test_serve_app_mode_fused_default_dtype(workdir, trained):
+    """serve --mode fused must work with the CLI's DEFAULT --cube_dtype
+    (bfloat16): the fused wire format is int8 regardless, and every
+    requested dtype resolves to it instead of raising."""
+    from radarml_tpu.apps import serve as serve_app
+
+    stats = serve_app.main(
+        [
+            "--duration", "2",
+            "--mode", "fused",
+            "--min_proba", "0.0",
+            "--max_batch", "8",
+            "--driver", "synthetic",
+        ]
+    )
+    assert stats["processed"] > 0
+
+
 def test_predict_app_derived_targets(workdir, trained):
     from radarml_tpu.apps import predict as predict_app
 
