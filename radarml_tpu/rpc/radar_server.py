@@ -298,20 +298,43 @@ class RadarServingServer:
         B = self._batch_size
         done = object()
         q: "queue.Queue" = queue.Queue(maxsize=4 * B)
+        # Set when this handler exits for ANY reason (abort on a
+        # malformed cube, device error, client cancel): the reader
+        # must never block forever on a full queue once nobody drains
+        # it — that would leak one thread + 4·B pinned requests per
+        # broken stream on a long-lived server.
+        closed = threading.Event()
 
         def reader():
             try:
                 for req in request_iterator:
-                    q.put(req)
+                    while True:
+                        if closed.is_set():
+                            return
+                        try:
+                            q.put(req, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
             except Exception:
                 logger.debug("stream reader ended", exc_info=True)
             finally:
-                q.put(done)
+                try:
+                    q.put_nowait(done)
+                except queue.Full:
+                    pass  # handler gone; closed is (being) set
 
         threading.Thread(
             target=reader, daemon=True, name="rpc-stream-reader"
         ).start()
+        context.add_callback(closed.set)
 
+        try:
+            yield from self._classify_stream_batches(q, done, B, context)
+        finally:
+            closed.set()
+
+    def _classify_stream_batches(self, q, done, B, context):
         finished = False
         while not finished:
             first = q.get()

@@ -503,3 +503,35 @@ def test_classify_stream_aborts_on_bad_cube(served):
                 dtype="uint8",
             )
         )
+
+
+def test_classify_stream_abort_releases_reader_thread(served):
+    """A mid-stream abort must not leak the reader thread: with more
+    queued requests than the handler ever drains (queue bound 4·B),
+    the reader would previously block forever on q.put."""
+    import threading
+    import time as _time
+
+    predictor, server, client = served
+    good = np.zeros(DEFAULT_ARENA.grid_shape, np.float32)
+    bad = np.zeros((2, 2, 2), np.float32)
+    tgt = [(0.0, 0.0, 100.0)]
+    # bad cube FIRST, then far more requests than 4*batch_size: the
+    # handler aborts on decode while the reader is still feeding.
+    scans = [(bad, tgt)] + [(good, tgt)] * 200
+    with pytest.raises(RadarServingError):
+        list(client.classify_stream(iter(scans), dtype="uint8"))
+
+    deadline = _time.time() + 10.0
+    while _time.time() < deadline:
+        readers = [
+            t for t in threading.enumerate()
+            if t.name == "rpc-stream-reader" and t.is_alive()
+        ]
+        if not readers:
+            break
+        _time.sleep(0.1)
+    assert not readers, "stream reader thread leaked after abort"
+
+    # the server stays healthy for subsequent calls
+    assert len(client.classify(good, tgt, dtype="uint8")) == 1
