@@ -42,20 +42,9 @@ BATCH = 2048
 MAX_TARGETS = 4
 
 
-def slope_time(call, fetch, k_lo=2, k_hi=12, reps=3):
-    """Seconds per call via two-point slope with forced completion."""
-    times = {}
-    for k in (k_lo, k_hi):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(k):
-                out = call()
-            fetch(out)
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+# One shared implementation of the two-point-slope methodology (see
+# module docstring) for bench.py and every benchmarks/ probe.
+from radarml_tpu.utils.slopetime import slope_time  # noqa: E402
 
 
 def device_latency_ms(predictor, cube1, xyz1, valid1, n_lo=64, n_hi=1024):

@@ -26,7 +26,8 @@ Prints one JSON line per formulation plus a summary line.
 """
 
 import json
-import time
+import os
+import sys
 
 import numpy as np
 
@@ -35,19 +36,14 @@ GRID = (22, 31, 176)  # default arena (core/arena.py)
 C = 3
 
 
-def slope_time(call, fetch, k_lo=2, k_hi=10, reps=3):
-    times = {}
-    for k in (k_lo, k_hi):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(k):
-                out = call()
-            fetch(out)
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+# Runnable as `python benchmarks/contraction_probe.py` from anywhere.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools  # noqa: E402
+
+from radarml_tpu.utils.slopetime import slope_time as _slope_time  # noqa: E402
+
+slope_time = functools.partial(_slope_time, k_hi=10)
 
 
 def main():

@@ -31,6 +31,7 @@ summary line.
 
 import argparse
 import json
+import sys
 import threading
 import time
 
@@ -131,9 +132,20 @@ def _grpc_scenario(
     warm.close()
     server.stop()
 
-    lat = np.concatenate([np.asarray(l) for l in latencies if l])
     reqs = stats1.classify_requests - stats0.classify_requests
     batches = stats1.classify_batches - stats0.classify_batches
+    nonempty = [np.asarray(l) for l in latencies if l]
+    if not nonempty:
+        # No request completed inside the window (tunnel stall, or a
+        # duration shorter than one round-trip): report the scenario
+        # as failed instead of crashing the whole bench matrix.
+        return {
+            "clients": n_clients,
+            "batch_window_ms": window_ms,
+            "requests": int(reqs),
+            "error": f"no request completed within {duration_s}s",
+        }
+    lat = np.concatenate(nonempty)
     return {
         "clients": n_clients,
         "batch_window_ms": window_ms,
@@ -285,18 +297,20 @@ def main():
                 args.duration, args.batch_size,
             )
             scenarios.append(s)
-            print(f"# grpc {s}", flush=True)
+            # progress to stderr: stdout stays one JSON line (CLAUDE.md
+            # bench.py contract — this runs as `bench.py --serving`)
+            print(f"# grpc {s}", file=sys.stderr, flush=True)
 
     grpc_stream = _grpc_stream_scenario(
         predictor, args.dtype, args.duration, args.batch_size
     )
     scenarios.append(grpc_stream)
-    print(f"# grpc {grpc_stream}", flush=True)
+    print(f"# grpc {grpc_stream}", file=sys.stderr, flush=True)
 
     stream = _streaming_scenario(predictor, args.duration, args.stream_batch)
-    print(f"# stream {stream}", flush=True)
+    print(f"# stream {stream}", file=sys.stderr, flush=True)
 
-    best = max(scenarios, key=lambda s: s["scans_per_sec"])
+    best = max(scenarios, key=lambda s: s.get("scans_per_sec", 0.0))
     artifact = {
         "dtype": args.dtype,
         "mode": args.mode,
@@ -310,11 +324,11 @@ def main():
 
     print(json.dumps({
         "metric": "serving_scans_per_sec",
-        "value": best["scans_per_sec"],
+        "value": best.get("scans_per_sec", 0.0),
         "unit": "scans/s",
-        "vs_baseline": round(best["scans_per_sec"] / 5.0, 1),
+        "vs_baseline": round(best.get("scans_per_sec", 0.0) / 5.0, 1),
         "best_grpc": best,
-        "streaming_scans_per_sec": stream["scans_per_sec"],
+        "streaming_scans_per_sec": stream.get("scans_per_sec", 0.0),
         "artifact": args.out,
     }))
 
