@@ -106,9 +106,13 @@ def synth_cube(
     noise_level = noise_level * (1.0 + 2.0 * hardness)
 
     if target_cell is None:
-        ti = int(rng.integers(3, sx - 3))
-        tj = int(rng.integers(3, sy - 3))
-        tk = int(rng.integers(20, sz - 30))
+        # Margins scale down for small arenas (tests use grids as
+        # small as 7x7x26); the defaults match the 22x31x176 arena.
+        mx, my = min(3, sx // 3), min(3, sy // 3)
+        k_lo, k_hi = min(20, sz // 4), sz - min(30, sz // 3)
+        ti = int(rng.integers(mx, sx - mx))
+        tj = int(rng.integers(my, sy - my))
+        tk = int(rng.integers(k_lo, max(k_hi, k_lo + 1)))
     else:
         ti, tj, tk = target_cell
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import logging
+import os
 import pickle
 from typing import Callable, Optional, Sequence, Tuple
 
@@ -115,11 +116,16 @@ def export_predictor(
         "platforms": list(exported.platforms),
         **({"batch": int(batch)} if predictor.mode == "fused" else {}),
     }
-    with open(path, "wb") as fp:
+    # Atomic replace: a ModelReloader watching `path` (train
+    # --online_learn or a re-export rewrites it live) must never read
+    # a half-written artifact.
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as fp:
         fp.write(MAGIC)
         fp.write(json.dumps(meta).encode("utf-8"))
         fp.write(b"\n")
         fp.write(exported.serialize())
+    os.replace(tmp, path)
     logger.info(
         "exported serving program to %s (%s, batch symbolic, T=%d)",
         path, meta["platforms"], max_targets,

@@ -59,6 +59,88 @@ def test_reloader_survives_bad_artifact(tmp_path):
     assert swapped == ["good"]
 
 
+def test_serve_cli_hot_reload_fused_artifact(tmp_path):
+    """Hot reload of a mode='fused' AOT artifact mid-serve: the baked
+    static batch must warm (batch 1 pads up inside ServingArtifact),
+    the re-export replaces the file atomically, and predictions flip
+    class without a restart — the production pairing of the headline
+    serving mode with the headline durability feature."""
+    from radarml_tpu.apps import serve as serve_app
+    from radarml_tpu.apps.common_cli import save_label_encoder, save_model
+    from radarml_tpu.data.labels import LabelEncoder
+
+    # Small scan arena (7x7x26 grid) keeps the interpret-mode kernel
+    # cheap; the training arena stays DEFAULT (cross-arena zoom).
+    arena_flag = "10,60,2,-42,42,14,-30,30,10"
+    C, F = 3, DEFAULT_ARENA.feature_length
+    model_path = str(tmp_path / "svm.pickle")
+    art_path = str(tmp_path / "fused.rmlx")
+    le_path = str(tmp_path / "le.pickle")
+    save_label_encoder(le_path, LabelEncoder(classes_=["cat", "dog", "person"]))
+
+    def export_model(boost_class):
+        intercept = np.full((C,), -5.0, np.float32)
+        intercept[boost_class] = 5.0
+        save_model(
+            model_path, "linear",
+            coef=np.zeros((C, F), np.float32),
+            intercept=intercept,
+            calib_a=-np.ones((C,), np.float32),
+            calib_b=np.zeros((C,), np.float32),
+            classes=["cat", "dog", "person"],
+        )
+        out = serve_app.main([
+            "--svm_model", model_path, "--label_encoder", le_path,
+            "--mode", "fused", "--max_batch", "4",
+            "--scan_arena", arena_flag,
+            "--export_serving", art_path,
+        ])
+        assert out == {"exported": art_path}
+
+    export_model(0)
+
+    labels_seen = []
+    out = {}
+
+    def run():
+        out["res"] = serve_app.main([
+            "--label_encoder", le_path,
+            "--serving_artifact", art_path,
+            "--scan_arena", arena_flag,
+            "--duration", "20", "--scan_period", "0.05",
+            "--max_batch", "4", "--min_proba", "0.0",
+            "--reload_poll", "0.3", "--log_detections",
+        ])
+
+    import logging
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if "target" in msg and "(" in msg:
+                for name in ("cat", "dog", "person"):
+                    if f" {name} " in msg:
+                        labels_seen.append(name)
+
+    grab = Grab()
+    logging.getLogger("radarml_tpu.apps.serve").addHandler(grab)
+    try:
+        th = threading.Thread(target=run)
+        th.start()
+        deadline = time.time() + 15
+        while "cat" not in labels_seen and time.time() < deadline:
+            time.sleep(0.2)
+        export_model(2)  # atomic re-export: swap to always-person
+        th.join(timeout=120)
+        assert not th.is_alive()
+    finally:
+        logging.getLogger("radarml_tpu.apps.serve").removeHandler(grab)
+
+    assert out["res"]["model_reloads"] >= 1
+    assert "cat" in labels_seen  # before reload
+    assert "person" in labels_seen  # after reload
+
+
 def test_serve_cli_hot_reload_swaps_predictions(tmp_path):
     """Rewrite the model mid-serve; the loop's predictions flip class
     without a restart."""
