@@ -15,12 +15,16 @@ a floor this kernel is built to break). This kernel computes all
 three tables in ONE pass over an int8 cube stream:
 
   * Layout: the scan batch is packed scan-minor as a 2-D int8 array
-    `(X·Yp, Z·B)` — rows x·Yp+y with y zero-padded to the int8
-    sublane tile (31→32 costs +3.2%, and the pad rows multiply
-    zero weight columns so their values never matter), columns
-    z·B + b. Both physical tile dims are dense — no hidden layout
-    padding, unlike any (…, Z=176) minor-dim view, which Mosaic
-    would pad 176→256 lanes (+45% HBM).
+    `(X·Yp, Z·B)` — rows ordered (g, x, y%Yg) over NG = Yp/Yg
+    y-groups (one full group = plain x·Yp+y), with y zero-padded to
+    the int8 sublane tile (31→32 costs +3.2%, and the pad rows
+    multiply zero weight columns so their values never matter),
+    columns z·B + b. Both physical tile dims are dense — no hidden
+    layout padding, unlike any (…, Z=176) minor-dim view, which
+    Mosaic would pad 176→256 lanes (+45% HBM). The PRODUCTION wire
+    format (models/pipeline._pack_y_group) is the y-grouped order
+    for every fused tail, so one packed batch serves any kernel
+    here — weights build with the matching K-axis permutation.
   * Grid: one step per z-slice. Each step loads `(X·Yp, B)` — ALL
     scans ride the MXU lane dimension, so every contraction is a
     plain big-K matmul `(M, 704) @ (704, B)`; nothing per-scan, no

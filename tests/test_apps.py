@@ -227,6 +227,23 @@ def test_serve_app_streams_detections(workdir, trained):
     assert stats["latency_p50_ms"] > 0
 
 
+def test_platform_flag_applies_at_parse_time():
+    """--platform must take effect during parse_args — before any app
+    touches a device — so CLIs stay usable when the TPU tunnel is out."""
+    import argparse
+
+    import jax
+
+    from radarml_tpu.apps.common_cli import add_common_flags
+
+    p = argparse.ArgumentParser()
+    add_common_flags(p)
+    args = p.parse_args(["--platform", "cpu"])
+    assert args.platform == "cpu"
+    assert jax.config.jax_platforms == "cpu"
+    assert p.parse_args([]).platform == ""  # default: leave the backend
+
+
 def test_serve_app_mode_fused_default_dtype(workdir, trained):
     """serve --mode fused must work with the CLI's DEFAULT --cube_dtype
     (bfloat16): the fused wire format is int8 regardless, and every
