@@ -38,7 +38,6 @@ def main():
         SGDConfig,
         predict,
         sgd_fit,
-        sgd_init,
         sgd_model,
     )
     from radarml_tpu.ops.features import process_samples

@@ -21,8 +21,6 @@ import pickle
 import sys
 from typing import List, Optional, Sequence
 
-import numpy as np
-
 from radarml_tpu.core.arena import Arena, DEFAULT_ARENA, ProjMask
 from radarml_tpu.data.labels import LabelEncoder
 

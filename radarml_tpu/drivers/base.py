@@ -16,7 +16,6 @@ from __future__ import annotations
 import abc
 import dataclasses
 import enum
-import time
 from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np

@@ -41,11 +41,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from radarml_tpu.ops.resample import (
-    _mirror_index,
     _prefilter_matrix,
     bspline_zoom_matrix,
     zoom_output_size,
-    _bspline3,
 )
 
 __all__ = [

@@ -27,8 +27,6 @@ import os
 import pickle
 from typing import Callable, Optional, Sequence, Tuple
 
-import numpy as np
-
 logger = logging.getLogger(__name__)
 
 FORMAT_V1 = "radarml_tpu.serving_export.v1"  # legacy pickle container

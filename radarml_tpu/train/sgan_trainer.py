@@ -47,7 +47,6 @@ from radarml_tpu.models.sgan import (
     LATENT_DIM,
     Discriminator,
     Generator,
-    c_head,
     custom_activation,
 )
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Iterable, Sequence, Tuple
 
-import matplotlib
 import numpy as np
 
 from radarml_tpu.core.arena import Arena, DEFAULT_ARENA
