@@ -102,6 +102,27 @@ def device_latency_ms(predictor, cube1, xyz1, valid1, n_lo=64, n_hi=1024):
 
 
 def main():
+    # Device discovery over the dev tunnel can hang INDEFINITELY during
+    # outage episodes (CLAUDE.md) — in the worst ones even jax.devices()
+    # never returns. A watchdog keeps the one-JSON-line contract: if the
+    # first device round-trip hasn't completed in time, report and exit
+    # instead of hanging the driver.
+    import os
+    import threading
+
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(timeout=900.0):
+            print(json.dumps({
+                "metric": "radar scans/sec (preprocess+classify) per chip",
+                "value": 0.0, "unit": "scans/s", "vs_baseline": 0.0,
+                "error": "device discovery timed out (TPU tunnel outage)",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     # Persistent compile cache: subsequent bench runs (and anything else
@@ -117,6 +138,7 @@ def main():
     from radarml_tpu.apps.common_cli import warm_transfers
 
     warm_transfers()  # prime the tunnel's device→host path (CLAUDE.md)
+    ready.set()  # device round-trip done; compiles may take arbitrarily long
 
     from radarml_tpu.core.arena import DEFAULT_ARENA
     from radarml_tpu.data.labels import LabelEncoder
