@@ -196,6 +196,25 @@ def main():
         "pallas": RadarPredictor(mode="pallas", cube_dtype="bfloat16", **kw),
     }
 
+    # Mosaic can reject a Pallas program with a hard abort (SIGABRT) that
+    # no try/except catches — probe each fused tail in a child process
+    # first so a kernel rejection can't kill the bench before it prints
+    # its one JSON line. Free on non-TPU backends (interpret mode).
+    from radarml_tpu.utils.mosaic_gate import gate_fused_variants
+
+    fused_tail_of = {"fused": "lookup", "fused_sel": "sel", "fused_sel3": "sel3"}
+    ok_tails = gate_fused_variants(
+        tails=list(dict.fromkeys(fused_tail_of.values())),
+        log=lambda m: print(f"# {m}", file=sys.stderr),
+    )
+    for name, tail in fused_tail_of.items():
+        if tail not in ok_tails:
+            print(
+                f"# mode {name} skipped: Mosaic gate rejected tail '{tail}'",
+                file=sys.stderr,
+            )
+            del predictors[name]
+
     # --- benchmark input: batch of scans, 4 target slots each ------------
     cubes_np, targets = make_scan_batch(BATCH, seed=7)
     cubes_np = np.rint(cubes_np)  # 8-bit radar range → bf16-exact

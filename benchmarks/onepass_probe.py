@@ -91,12 +91,32 @@ def main():
 
     kw = dict(train_arena=DEFAULT_ARENA, scan_arena=DEFAULT_ARENA,
               model=model, calibration=calib, min_proba=0.7)
+
+    # Mosaic rejections can be hard aborts no try/except catches —
+    # probe each fused variant (and the raw tables-only kernel) in a
+    # child process first (utils/mosaic_gate). Free on CPU.
+    from radarml_tpu.utils.mosaic_gate import gate_fused_variants
+
+    ok = set(gate_fused_variants(
+        tails=("lookup", "sel", "sel3", "tables"),
+        log=lambda m: print(f"# {m}", file=sys.stderr),
+    ))
+    gate_errors = {
+        f"fused_{t}" if t != "lookup" else "fused": "mosaic gate rejected"
+        for t in ("lookup", "sel", "sel3") if t not in ok
+    }
+
     predictors = {
         "fast_i8": RadarPredictor(mode="fast", cube_dtype="int8", **kw),
-        "fused": RadarPredictor(mode="fused", **kw),
-        "fused_sel": RadarPredictor(mode="fused", fused_tail="sel", **kw),
-        "fused_sel3": RadarPredictor(mode="fused", fused_tail="sel3", **kw),
     }
+    if "lookup" in ok:
+        predictors["fused"] = RadarPredictor(mode="fused", **kw)
+    if "sel" in ok:
+        predictors["fused_sel"] = RadarPredictor(
+            mode="fused", fused_tail="sel", **kw)
+    if "sel3" in ok:
+        predictors["fused_sel3"] = RadarPredictor(
+            mode="fused", fused_tail="sel3", **kw)
 
     cubes_np, targets = make_scan_batch(BATCH, seed=7)
     cubes_np = np.rint(cubes_np)
@@ -107,9 +127,14 @@ def main():
     valid = jax.device_put(valid_np)
     cubes_i8 = jax.device_put(encode_int8_cubes(cubes_np))
     # one universal fused wire layout (tail-independent, keyed on the
-    # arena): pack once, serve every tail
-    packed_once = jax.device_put(
-        predictors["fused"].pack_host(cubes_np.astype(np.uint8))
+    # arena): pack once, serve every tail. Constructing a predictor is
+    # host-side only (no kernel compile), so the packer is always safe
+    # to build even when the gate rejected every fused tail.
+    packer = predictors.get("fused", RadarPredictor(mode="fused", **kw))
+    need_pack = any(n != "fast_i8" for n in predictors) or "tables" in ok
+    packed_once = (
+        jax.device_put(packer.pack_host(cubes_np.astype(np.uint8)))
+        if need_pack else None
     )
     packed = {
         name: packed_once
@@ -124,7 +149,7 @@ def main():
     # isolated: the sel/sel3 kernels push Mosaic features (3D scratch,
     # dynamic leading index, (Z, NG) grids) that interpret mode can't
     # vouch for, and one rejection must not cost the whole run.
-    preds, probas, errors = {}, {}, {}
+    preds, probas, errors = {}, {}, dict(gate_errors)
     for name, p in predictors.items():
         try:
             pk, _, prk = p(*inputs(name))
@@ -156,15 +181,17 @@ def main():
 
     # raw kernel without any tail (upper bound for the fused paths)
     try:
-        quant = predictors["fused"]._quantized_split_templates()
+        if "tables" not in ok:
+            raise RuntimeError("mosaic gate rejected")
+        quant = packer._quantized_split_templates()
         a = DEFAULT_ARENA
         w = build_onepass_weights(
             quant, (a.size_x, a.size_y, a.size_z),
-            y_group=predictors["fused"]._pack_y_group,
+            y_group=packer._pack_y_group,
         )
         interp = jax.devices()[0].platform != "tpu"
         tab = jax.jit(lambda ck: onepass_tables_i8(ck, w, interpret=interp))
-        cube_k = packed["fused"]  # same universal wire layout as w
+        cube_k = packed_once  # same universal wire layout as w
         _ = jax.device_get(tab(cube_k)[0][:1])
         r_tab = BATCH / slope(lambda: tab(cube_k),
                               lambda o: jax.device_get(o[0][:1, :1]))

@@ -104,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "seconds and swap the predictor in-place when "
                         "it changes (0 = off); pairs with "
                         "train --online_learn rewriting the artifact")
+    p.add_argument("--no_mosaic_gate", dest="mosaic_gate",
+                   action="store_false",
+                   help="skip the startup child-process probe of the "
+                        "fused Pallas kernel (the probe prevents a "
+                        "Mosaic hard-abort from crash-looping the "
+                        "service; only relevant with --mode fused on "
+                        "TPU)")
     add_scan_arena_flag(p)
     add_driver_flags(p)
     add_common_flags(p)
@@ -126,6 +133,38 @@ def main(argv=None) -> dict:
     # bake their own scan grid and ignore this flag.
     scan_arena = parse_arena(args.scan_arena)
 
+    # Mosaic can reject a Pallas program with a hard abort that would
+    # otherwise crash-loop the service at its first batch. Probe the
+    # fused kernel once in a child process (utils/mosaic_gate) and fall
+    # back to the fastest 3-read path if the kernel is rejected — the
+    # fallback is transparent to clients (same cube wire format,
+    # identical decisions: fast+int8 shares the quantized templates).
+    gate_fallback = {}
+
+    def fused_mode_and_dtype():
+        if args.mode != "fused" or not args.mosaic_gate:
+            return args.mode, args.cube_dtype
+        if "mode" not in gate_fallback:  # gate once, not per hot-reload
+            import jax
+
+            from radarml_tpu.utils.mosaic_gate import gate_fused_variants
+
+            tail = RadarPredictor.__dataclass_fields__["fused_tail"].default
+            if jax.default_backend() == "tpu" and tail not in (
+                gate_fused_variants((tail,), log=logger.warning)
+            ):
+                logger.warning(
+                    "fused kernel (tail=%s) rejected by Mosaic on this "
+                    "backend; serving falls back to mode=fast "
+                    "cube_dtype=int8 (identical decisions, ~0.6x bulk "
+                    "throughput)",
+                    tail,
+                )
+                gate_fallback["mode"] = ("fast", "int8")
+            else:
+                gate_fallback["mode"] = (args.mode, args.cube_dtype)
+        return gate_fallback["mode"]
+
     def build_predictor():
         if args.serving_artifact:
             from radarml_tpu.serving import load_serving_artifact
@@ -147,11 +186,12 @@ def main(argv=None) -> dict:
                 )
             return p
         model, calib = load_model(args.svm_model)
+        mode, cube_dtype = fused_mode_and_dtype()
         return RadarPredictor(
             train_arena=DEFAULT_ARENA, scan_arena=scan_arena,
             model=model, calibration=calib,
-            min_proba=args.min_proba, mode=args.mode,
-            cube_dtype=args.cube_dtype,
+            min_proba=args.min_proba, mode=mode,
+            cube_dtype=cube_dtype,
         )
 
     predictor = build_predictor()

@@ -1,0 +1,64 @@
+"""Crash-isolation gate for fused Pallas variants (utils/mosaic_gate).
+
+The gate exists because Mosaic rejections can be hard aborts
+(SIGABRT) that no in-process try/except catches; bench.py must keep
+its one-JSON-line contract regardless (driver requirement). On real
+TPU the gate spawns child processes; on CPU (these tests) the fused
+kernels run in interpret mode, so the gate must pass everything
+through without spawning anything.
+"""
+
+import subprocess
+import sys
+
+from radarml_tpu.utils import mosaic_gate
+
+
+def test_parse_ok_extracts_passed_tails():
+    out = "ok lookup\nsome noise\nok sel3\nfail sel ValueError: x\n"
+    assert mosaic_gate._parse_ok(out) == {"lookup", "sel3"}
+    assert mosaic_gate._parse_ok("") == set()
+    assert mosaic_gate._parse_ok(None) == set()
+
+
+def test_non_tpu_backend_passes_through_without_children(monkeypatch):
+    calls = []
+
+    def no_spawn(*a, **k):  # any spawn on CPU is a bug
+        calls.append(a)
+        raise AssertionError("gate must not spawn children on CPU")
+
+    monkeypatch.setattr(subprocess, "run", no_spawn)
+    tails = mosaic_gate.gate_fused_variants(("lookup", "sel", "sel3"))
+    assert tails == ["lookup", "sel", "sel3"]
+    assert calls == []
+
+
+def test_child_protocol_reports_each_passing_tail():
+    # The child CLI is what real-TPU bench runs execute; drive it on the
+    # CPU backend (interpret-mode kernel) with a tiny batch. One tail
+    # keeps this fast; interpret-mode correctness of all tails is
+    # covered by the fused-mode parity tests.
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "radarml_tpu.utils.mosaic_gate",
+            "--batch",
+            "8",
+            "lookup",
+            "not_a_tail",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={
+            **__import__("os").environ,
+            "JAX_PLATFORMS": "cpu",
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ok = mosaic_gate._parse_ok(proc.stdout)
+    assert ok == {"lookup"}
+    # the bogus tail fails in-child with a catchable error, not a crash
+    assert "fail not_a_tail" in proc.stderr
