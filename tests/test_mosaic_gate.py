@@ -34,6 +34,78 @@ def test_non_tpu_backend_passes_through_without_children(monkeypatch):
     assert calls == []
 
 
+def _fake_tpu(monkeypatch):
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+class _Proc:
+    def __init__(self, stdout, returncode):
+        self.stdout, self.returncode = stdout, returncode
+
+
+def test_parent_retries_past_a_crashed_tail(monkeypatch):
+    """A child SIGABRT on one tail must not shadow the tails after it:
+    the parent respawns for the remainder and skips only the crasher."""
+    _fake_tpu(monkeypatch)
+    calls = []
+
+    def fake_run(cmd, **k):
+        tails = [a for a in cmd if a in ("lookup", "sel", "sel3")]
+        calls.append(tails)
+        if tails == ["lookup", "sel", "sel3"]:
+            return _Proc("ok lookup\n", -6)  # child aborted probing sel
+        assert tails == ["sel3"]
+        return _Proc("ok sel3\n", 0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("lookup", "sel", "sel3"))
+    assert out == ["lookup", "sel3"]
+    assert calls == [["lookup", "sel", "sel3"], ["sel3"]]
+
+
+def test_parent_drops_in_child_failures_without_respawn(monkeypatch):
+    """rc=0 with a missing ok line = catchable in-child failure: drop
+    the tail, no second child."""
+    _fake_tpu(monkeypatch)
+    calls = []
+
+    def fake_run(cmd, **k):
+        calls.append(1)
+        return _Proc("ok lookup\nfail sel ValueError\nok sel3\n", 0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("lookup", "sel", "sel3"))
+    assert out == ["lookup", "sel3"]
+    assert calls == [1]
+
+
+def test_parent_keeps_partial_results_on_timeout(monkeypatch):
+    """A hang (tunnel outage) keeps what already passed instead of
+    spinning forever."""
+    _fake_tpu(monkeypatch)
+
+    def fake_run(cmd, **k):
+        raise subprocess.TimeoutExpired(cmd, 1, output="ok lookup\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("lookup", "sel", "sel3"))
+    assert out == ["lookup"]
+
+
+def test_parent_crash_after_last_ok_returns_passed(monkeypatch):
+    """A crash at interpreter exit (after every tail passed) keeps all."""
+    _fake_tpu(monkeypatch)
+
+    def fake_run(cmd, **k):
+        return _Proc("ok lookup\nok sel\nok sel3\n", -11)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("lookup", "sel", "sel3"))
+    assert out == ["lookup", "sel", "sel3"]
+
+
 def test_child_protocol_reports_each_passing_tail():
     # The child CLI is what real-TPU bench runs execute; drive it on the
     # CPU backend (interpret-mode kernel) with a tiny batch. One tail
