@@ -107,21 +107,11 @@ def main():
     # never returns. A watchdog keeps the one-JSON-line contract: if the
     # first device round-trip hasn't completed in time, report and exit
     # instead of hanging the driver.
-    import os
-    import threading
+    from radarml_tpu.utils.watchdog import start_json_watchdog
 
-    ready = threading.Event()
-
-    def _watchdog():
-        if not ready.wait(timeout=900.0):
-            print(json.dumps({
-                "metric": "radar scans/sec (preprocess+classify) per chip",
-                "value": 0.0, "unit": "scans/s", "vs_baseline": 0.0,
-                "error": "device discovery timed out (TPU tunnel outage)",
-            }), flush=True)
-            os._exit(2)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
+    ready = start_json_watchdog(
+        "radar scans/sec (preprocess+classify) per chip"
+    )
 
     import jax
 
@@ -205,6 +195,7 @@ def main():
     fused_tail_of = {"fused": "lookup", "fused_sel": "sel", "fused_sel3": "sel3"}
     ok_tails = gate_fused_variants(
         tails=list(dict.fromkeys(fused_tail_of.values())),
+        batch=BATCH,  # probe the exact program the bench will compile
         log=lambda m: print(f"# {m}", file=sys.stderr),
     )
     for name, tail in fused_tail_of.items():

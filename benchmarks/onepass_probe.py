@@ -99,6 +99,7 @@ def main():
 
     ok = set(gate_fused_variants(
         tails=("lookup", "sel", "sel3", "tables"),
+        batch=BATCH,  # probe the exact program the probe will compile
         log=lambda m: print(f"# {m}", file=sys.stderr),
     ))
     gate_errors = {
@@ -130,7 +131,7 @@ def main():
     # arena): pack once, serve every tail. Constructing a predictor is
     # host-side only (no kernel compile), so the packer is always safe
     # to build even when the gate rejected every fused tail.
-    packer = predictors.get("fused", RadarPredictor(mode="fused", **kw))
+    packer = predictors.get("fused") or RadarPredictor(mode="fused", **kw)
     need_pack = any(n != "fast_i8" for n in predictors) or "tables" in ok
     packed_once = (
         jax.device_put(packer.pack_host(cubes_np.astype(np.uint8)))

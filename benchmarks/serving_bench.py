@@ -271,19 +271,32 @@ def main():
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--stream_batch", type=int, default=64)
     ap.add_argument("--out", default="SERVING_BENCH.json")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. 'cpu' during TPU "
+                         "tunnel outages); the env var alone does not "
+                         "override a pre-registered PJRT plugin")
     args = ap.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/radarml_jaxcache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
+    # Same one-JSON-line contract as bench.py: device discovery can
+    # hang forever in a tunnel outage; report and exit instead.
+    from radarml_tpu.utils.watchdog import start_json_watchdog
+
+    ready = start_json_watchdog("serving scans/sec end-to-end")
+
     from radarml_tpu.apps.common_cli import warm_transfers
 
     warm_transfers()
+    ready.set()  # device reachable; compiles may take arbitrarily long
 
     predictor = _build_predictor(
         args.dtype, [1, args.batch_size, args.stream_batch], args.mode

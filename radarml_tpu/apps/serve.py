@@ -151,7 +151,15 @@ def main(argv=None) -> dict:
 
             tail = RadarPredictor.__dataclass_fields__["fused_tail"].default
             if jax.default_backend() == "tpu" and tail not in (
-                gate_fused_variants((tail,), log=logger.warning)
+                gate_fused_variants(
+                    (tail,),
+                    # probe the exact program this service will run:
+                    # kernel geometry keys on the scan arena, the
+                    # Mosaic program on the (lane-padded) batch
+                    batch=max(args.max_batch, args.grpc_batch_size),
+                    arena=args.scan_arena,
+                    log=logger.warning,
+                )
             ):
                 logger.warning(
                     "fused kernel (tail=%s) rejected by Mosaic on this "
@@ -259,6 +267,11 @@ def main(argv=None) -> dict:
     if args.export_serving:
         from radarml_tpu.serving import export_predictor
 
+        # Key the export on the predictor's EFFECTIVE mode — the
+        # mosaic gate may have replaced a rejected fused kernel with
+        # fast+int8, which supports symbolic batch and multi-platform
+        # lowering again.
+        eff_fused = getattr(predictor, "mode", None) == "fused"
         export_predictor(
             predictor, args.export_serving,
             # fused mode is a Mosaic kernel: it only lowers for the
@@ -266,10 +279,10 @@ def main(argv=None) -> dict:
             # on TPU), so export for the current backend only — a
             # multi-platform lowering would fail on TPU and silently
             # embed the slow interpreted kernel on CPU.
-            platforms=(None if args.mode == "fused" else ("tpu", "cpu")),
+            platforms=(None if eff_fused else ("tpu", "cpu")),
             # fused exports bake a static batch (packed wire layout);
             # the service scores in --max_batch chunks, so bake that.
-            batch=(args.max_batch if args.mode == "fused" else None),
+            batch=(args.max_batch if eff_fused else None),
         )
         return {"exported": args.export_serving}
 

@@ -10,23 +10,28 @@ module which ones actually compile AND execute on the current backend:
 each candidate runs in a CHILD process, where an abort costs only
 that child.
 
-The check is cheap by construction: non-TPU backends run the fused
-kernels in interpret mode (pure XLA — nothing to gate), and on TPU a
-passing gate is one small-batch compile per tail, cached by the
-persistent compile cache for repeat runs.
+The gate probes the SAME program the caller will run: pass the
+caller's ``batch`` (the packed wire layout rides the lane dimension,
+so the Mosaic program differs per padded batch) and ``arena`` (the
+kernel grid/tiling is keyed on the scan arena's grid shape). With the
+persistent compile cache on, a passing gate even pre-warms the
+caller's own compile. Non-TPU backends run the fused kernels in
+interpret mode (pure XLA — nothing to gate), so everything passes
+there without child processes.
 
 Child protocol (``python -m radarml_tpu.utils.mosaic_gate t1 t2 …``):
-probe each tail in order, print ``ok <tail>`` (flushed) after each
-success. A crash mid-list tells the parent exactly which tail died —
-everything before the last ``ok`` passed — and the parent re-spawns
-for the remainder, so one abort never shadows an untested tail.
+probe each tail in order; print ``ok <tail>`` (flushed) after each
+success and ``fail <tail> …`` to stderr for catchable errors. A crash
+mid-list tells the parent exactly which tail died — the first one with
+neither verdict — and the parent re-spawns for the remainder, so one
+abort never shadows an untested tail.
 """
 
 from __future__ import annotations
 
 import subprocess
 import sys
-from typing import Iterable, List
+from typing import Iterable, List, Optional, Tuple
 
 #: "tables" probes the raw onepass_tables_i8 kernel (no scoring tail).
 GATE_TAILS = ("lookup", "sel", "sel3")
@@ -37,16 +42,18 @@ def gate_fused_variants(
     batch: int = 256,
     timeout: float = 900.0,
     log=None,
+    arena: str = "",
 ) -> List[str]:
     """Return the subset of `tails` that survive compile+execute.
 
-    On non-TPU backends every tail passes without spawning anything
-    (interpret mode, no Mosaic). On TPU, tails are probed in child
-    processes; a tail whose child dies (signal, abort, nonzero exit)
-    is dropped. If a child HANGS past `timeout` (tunnel outage, not a
-    kernel problem), the tails probed so far are returned and the
-    rest are dropped — the caller keeps its one-JSON-line contract
-    either way.
+    `batch` and `arena` (a --scan_arena CSV spec, '' = training arena)
+    select the exact kernel program to vouch for. On non-TPU backends
+    every tail passes without spawning anything (interpret mode, no
+    Mosaic). On TPU, tails are probed in child processes; a tail whose
+    child dies (signal, abort, nonzero exit) is dropped. If a child
+    HANGS past `timeout` (tunnel outage, not a kernel problem), the
+    tails probed so far are returned and the rest are dropped — the
+    caller keeps its one-JSON-line contract either way.
     """
     import jax
 
@@ -67,45 +74,73 @@ def gate_fused_variants(
             "radarml_tpu.utils.mosaic_gate",
             "--batch",
             str(batch),
-            *remaining,
         ]
+        if arena:
+            cmd += ["--arena", arena]
+        cmd += remaining
         try:
             proc = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=timeout
             )
         except subprocess.TimeoutExpired as e:
-            out = e.stdout or b""
-            if isinstance(out, bytes):
-                out = out.decode(errors="replace")
-            ok = _parse_ok(out)
+            ok, _ = _parse_verdicts(_as_text(e.stdout), _as_text(e.stderr))
             passed.extend(t for t in remaining if t in ok)
             note(f"mosaic gate timed out; keeping {passed}")
             return passed
-        ok = _parse_ok(proc.stdout)
+        ok, failed = _parse_verdicts(proc.stdout, proc.stderr)
         passed.extend(t for t in remaining if t in ok)
-        survivors = [t for t in remaining if t not in ok]
+        for t in remaining:
+            if t in failed:
+                note(f"mosaic gate: {t} failed in-child: {failed[t]}")
+        survivors = [
+            t for t in remaining if t not in ok and t not in failed
+        ]
         if proc.returncode == 0:
-            for t in survivors:  # probed, failed with a Python error
-                note(f"mosaic gate: {t} failed in-child (see child log)")
+            for t in survivors:  # unknown tail names etc.
+                note(f"mosaic gate: {t} not probed by the child")
             return passed
-        # Child died (Mosaic abort / signal) on the first survivor.
+        # Child died (Mosaic abort / signal) on the first survivor —
+        # tails with a catchable 'fail' verdict were already past.
         if survivors:
             dead, remaining = survivors[0], survivors[1:]
+            tail_err = (proc.stderr or "").strip().splitlines()
             note(
                 f"mosaic gate: {dead} crashed the child "
-                f"(exit {proc.returncode}); skipping it"
+                f"(exit {proc.returncode}"
+                + (f"; last stderr: {tail_err[-1][:200]}" if tail_err else "")
+                + "); skipping it"
             )
-        else:  # crashed after the last ok line (e.g. at interpreter exit)
+        else:  # crashed after the last verdict (e.g. at interpreter exit)
             return passed
     return passed
 
 
-def _parse_ok(stdout: str) -> set:
+def _as_text(out) -> str:
+    if out is None:
+        return ""
+    if isinstance(out, bytes):
+        return out.decode(errors="replace")
+    return out
+
+
+def _parse_verdicts(stdout: str, stderr: str) -> Tuple[set, dict]:
+    """(ok tails, {failed tail: reason}) from the child's streams."""
     ok = set()
     for line in (stdout or "").splitlines():
         if line.startswith("ok "):
             ok.add(line[3:].strip())
-    return ok
+    failed = {}
+    for line in (stderr or "").splitlines():
+        if line.startswith("fail "):
+            rest = line[5:].strip()
+            tail, _, reason = rest.partition(" ")
+            failed[tail] = reason[:200]
+    return ok, failed
+
+
+def _parse_ok(stdout: str) -> set:
+    """Back-compat helper: ok tails only."""
+    return _parse_verdicts(stdout, "")[0]
 
 
 def _child_main(argv: List[str]) -> int:
@@ -113,6 +148,8 @@ def _child_main(argv: List[str]) -> int:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--arena", type=str, default="",
+                    help="--scan_arena CSV spec ('' = training arena)")
     ap.add_argument("tails", nargs="+")
     args = ap.parse_args(argv)
 
@@ -133,9 +170,10 @@ def _child_main(argv: List[str]) -> int:
 
     import numpy as np
 
+    from radarml_tpu.apps.common_cli import parse_arena
     from radarml_tpu.core.arena import DEFAULT_ARENA
     from radarml_tpu.data.labels import LabelEncoder
-    from radarml_tpu.data.synthetic import make_dataset, make_scan_batch
+    from radarml_tpu.data.synthetic import make_dataset
     from radarml_tpu.models.linear import (
         SGDConfig,
         calibrate_ovr,
@@ -143,6 +181,8 @@ def _child_main(argv: List[str]) -> int:
         sgd_model,
     )
     from radarml_tpu.models.pipeline import RadarPredictor, pad_targets
+
+    scan_arena = parse_arena(args.arena)
 
     samples, labels = make_dataset(30, seed=11)
     le, y = LabelEncoder.fit_transform(labels)
@@ -157,16 +197,19 @@ def _child_main(argv: List[str]) -> int:
     calib = calibrate_ovr(model, X[24:], y[24:])
     kw = dict(
         train_arena=DEFAULT_ARENA,
-        scan_arena=DEFAULT_ARENA,
+        scan_arena=scan_arena,
         model=model,
         calibration=calib,
         min_proba=0.7,
     )
 
-    cubes_np, targets = make_scan_batch(args.batch, seed=7)
-    cubes_np = np.rint(cubes_np).astype(np.uint8)
+    # Scan cubes on the SCAN arena's grid (the kernel is keyed on it).
+    rng = np.random.default_rng(7)
+    cubes_np = rng.integers(
+        0, 256, size=(args.batch,) + scan_arena.grid_shape, dtype=np.uint8
+    )
     xyz_np, valid_np = pad_targets(
-        [[(t.x, t.y, t.z)] for t in targets], max_targets=4
+        [[(5.0, 5.0, 100.0)]] * args.batch, max_targets=4
     )
 
     packed = None
@@ -180,10 +223,13 @@ def _child_main(argv: List[str]) -> int:
 
                 p = RadarPredictor(mode="fused", **kw)
                 quant = p._quantized_split_templates()
-                a = DEFAULT_ARENA
                 w = build_onepass_weights(
                     quant,
-                    (a.size_x, a.size_y, a.size_z),
+                    (
+                        scan_arena.size_x,
+                        scan_arena.size_y,
+                        scan_arena.size_z,
+                    ),
                     y_group=p._pack_y_group,
                 )
                 if packed is None:

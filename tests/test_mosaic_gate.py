@@ -14,11 +14,15 @@ import sys
 from radarml_tpu.utils import mosaic_gate
 
 
-def test_parse_ok_extracts_passed_tails():
-    out = "ok lookup\nsome noise\nok sel3\nfail sel ValueError: x\n"
-    assert mosaic_gate._parse_ok(out) == {"lookup", "sel3"}
-    assert mosaic_gate._parse_ok("") == set()
-    assert mosaic_gate._parse_ok(None) == set()
+def test_parse_verdicts_extracts_ok_and_fail():
+    ok, failed = mosaic_gate._parse_verdicts(
+        "ok lookup\nsome noise\nok sel3\n",
+        "fail sel ValueError: boom\nE1234 mosaic noise\n",
+    )
+    assert ok == {"lookup", "sel3"}
+    assert failed == {"sel": "ValueError: boom"}
+    assert mosaic_gate._parse_verdicts("", "") == (set(), {})
+    assert mosaic_gate._parse_ok("ok lookup\n") == {"lookup"}
 
 
 def test_non_tpu_backend_passes_through_without_children(monkeypatch):
@@ -41,8 +45,9 @@ def _fake_tpu(monkeypatch):
 
 
 class _Proc:
-    def __init__(self, stdout, returncode):
+    def __init__(self, stdout, returncode, stderr=""):
         self.stdout, self.returncode = stdout, returncode
+        self.stderr = stderr
 
 
 def test_parent_retries_past_a_crashed_tail(monkeypatch):
@@ -65,20 +70,70 @@ def test_parent_retries_past_a_crashed_tail(monkeypatch):
     assert calls == [["lookup", "sel", "sel3"], ["sel3"]]
 
 
-def test_parent_drops_in_child_failures_without_respawn(monkeypatch):
-    """rc=0 with a missing ok line = catchable in-child failure: drop
-    the tail, no second child."""
+def test_parent_passes_batch_and_arena_to_child(monkeypatch):
     _fake_tpu(monkeypatch)
-    calls = []
+    seen = {}
+
+    def fake_run(cmd, **k):
+        seen["cmd"] = cmd
+        return _Proc("ok lookup\n", 0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(
+        ("lookup",), batch=2048, arena="10,120,2,-20,20,4,-10,10,2"
+    )
+    assert out == ["lookup"]
+    cmd = seen["cmd"]
+    assert cmd[cmd.index("--batch") + 1] == "2048"
+    assert cmd[cmd.index("--arena") + 1] == "10,120,2,-20,20,4,-10,10,2"
+
+
+def test_crash_attribution_skips_catchably_failed_tails(monkeypatch):
+    """fail-verdict tails are NOT blamed for a later crash: the
+    crasher is the first tail with neither verdict, and the respawn
+    starts after it."""
+    _fake_tpu(monkeypatch)
+    calls, notes = [], []
+
+    def fake_run(cmd, **k):
+        tails = [a for a in cmd if a in ("lookup", "sel", "sel3")]
+        calls.append(tails)
+        if tails == ["lookup", "sel", "sel3"]:
+            # lookup fails catchably, sel crashes the child
+            return _Proc("", -6, stderr="fail lookup ValueError: bad\n")
+        assert tails == ["sel3"]
+        return _Proc("ok sel3\n", 0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(
+        ("lookup", "sel", "sel3"), log=notes.append
+    )
+    assert out == ["sel3"]
+    assert calls == [["lookup", "sel", "sel3"], ["sel3"]]
+    assert any("sel crashed" in n for n in notes)
+    assert not any("lookup crashed" in n for n in notes)
+    assert any("lookup failed in-child" in n for n in notes)
+
+
+def test_parent_drops_in_child_failures_without_respawn(monkeypatch):
+    """rc=0 with a fail verdict = catchable in-child failure: drop
+    the tail, no second child, reason surfaced via log."""
+    _fake_tpu(monkeypatch)
+    calls, notes = [], []
 
     def fake_run(cmd, **k):
         calls.append(1)
-        return _Proc("ok lookup\nfail sel ValueError\nok sel3\n", 0)
+        return _Proc(
+            "ok lookup\nok sel3\n", 0, stderr="fail sel TypeError: x\n"
+        )
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    out = mosaic_gate.gate_fused_variants(("lookup", "sel", "sel3"))
+    out = mosaic_gate.gate_fused_variants(
+        ("lookup", "sel", "sel3"), log=notes.append
+    )
     assert out == ["lookup", "sel3"]
     assert calls == [1]
+    assert any("sel failed in-child: TypeError: x" in n for n in notes)
 
 
 def test_parent_keeps_partial_results_on_timeout(monkeypatch):
@@ -130,7 +185,7 @@ def test_child_protocol_reports_each_passing_tail():
         },
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    ok = mosaic_gate._parse_ok(proc.stdout)
+    ok, failed = mosaic_gate._parse_verdicts(proc.stdout, proc.stderr)
     assert ok == {"lookup"}
     # the bogus tail fails in-child with a catchable error, not a crash
-    assert "fail not_a_tail" in proc.stderr
+    assert "not_a_tail" in failed
