@@ -47,6 +47,7 @@ class ModelReloader(threading.Thread):
         self._poll_s = poll_s
         self._halt = threading.Event()
         self._mtime = self._stat()
+        self._retry_wait = poll_s  # failure backoff, doubles to 60 s
         self.reloads = 0
         self.failures = 0
 
@@ -71,6 +72,15 @@ class ModelReloader(threading.Thread):
                 settle = nxt
             if self._halt.is_set():
                 return
+            # A build of THIS same artifact already failed: retry on a
+            # capped exponential backoff instead of every poll — build()
+            # can involve a 30-90 s compile, and a deterministically bad
+            # artifact must not spin it (transient races still retry).
+            if (
+                getattr(self, "_failed_mtime", None) == settle
+                and self._halt.wait(self._retry_wait)
+            ):
+                return
             try:
                 new = self._build()
                 self._on_swap(new)
@@ -80,6 +90,7 @@ class ModelReloader(threading.Thread):
                 # the completed artifact unserved forever.
                 self._mtime = settle
                 self._failed_mtime = None
+                self._retry_wait = self._poll_s
                 self.reloads += 1
                 logger.info(
                     "hot-reloaded model from %s (reload #%d)",
@@ -89,6 +100,7 @@ class ModelReloader(threading.Thread):
                 self.failures += 1
                 if getattr(self, "_failed_mtime", None) != settle:
                     self._failed_mtime = settle
+                    self._retry_wait = self._poll_s
                     logger.exception(
                         "model reload from %s failed; keeping previous "
                         "model (will retry while the file is unchanged)",
@@ -99,6 +111,7 @@ class ModelReloader(threading.Thread):
                         "model reload retry from %s failed again",
                         self._path,
                     )
+                self._retry_wait = min(self._retry_wait * 2, 60.0)
 
     def stop(self):
         self._halt.set()

@@ -59,6 +59,31 @@ def test_reloader_survives_bad_artifact(tmp_path):
     assert swapped == ["good"]
 
 
+def test_reloader_backs_off_on_repeated_failures(tmp_path):
+    """A deterministically bad artifact must not spin build() every
+    poll — build can involve a 30-90 s compile. Retries continue (a
+    transient race heals) but on a doubling backoff."""
+    path = tmp_path / "artifact.bin"
+    path.write_bytes(b"v1")
+    calls = []
+
+    def build():
+        calls.append(time.time())
+        raise ValueError("always corrupt")
+
+    r = ModelReloader(str(path), build, lambda _: None, poll_s=0.05)
+    r.start()
+    time.sleep(0.2)
+    path.write_bytes(b"v2")  # triggers the always-failing build
+    time.sleep(1.5)
+    r.stop()
+    r.join(timeout=5)
+    # no-backoff would attempt ~25+ builds in 1.5 s at poll 0.05
+    assert 2 <= len(calls) <= 10, calls
+    # and the reloader still retried rather than giving up after one
+    assert r.failures == len(calls)
+
+
 def test_serve_cli_hot_reload_fused_artifact(tmp_path):
     """Hot reload of a mode='fused' AOT artifact mid-serve: the baked
     static batch must warm (batch 1 pads up inside ServingArtifact),
