@@ -311,6 +311,43 @@ def test_dynamic_batching_coalesces_and_matches(served):
         batched.stop()
 
 
+def test_adaptive_batching_lone_request_skips_window(served):
+    """The coalescing window engages only under evident concurrency: a
+    lone Classify on a batching server with an absurd 5 s window must
+    return in well under the window (SERVING_BENCH r03 showed a fixed
+    window pessimizing every operating point; the adaptive policy makes
+    batching free when unloaded)."""
+    import time as _time
+
+    predictor, _server, _plain = served
+    batched = RadarServingServer(
+        predictor, classes=["cat", "dog", "person"],
+        grid_shape=DEFAULT_ARENA.grid_shape,
+        batch_window_ms=5000.0, batch_size=4,
+    ).start()
+    client = RadarServingClient(f"127.0.0.1:{batched.port}", timeout_s=30)
+    try:
+        rng = np.random.default_rng(11)
+        cube = np.rint(rng.random(DEFAULT_ARENA.grid_shape) * 255).astype(
+            np.float32
+        )
+        # warm the compiled (batch_size, T) program out of the timing
+        client.classify(cube, [(0.0, 0.0, 90.0)], dtype="uint8")
+        t0 = _time.perf_counter()
+        dets = client.classify(cube, [(1.0, -1.0, 110.0)], dtype="uint8")
+        elapsed = _time.perf_counter() - t0
+        assert len(dets) == 1
+        assert elapsed < 2.5, (
+            f"lone request took {elapsed:.2f}s — the 5s window leaked "
+            "into the unloaded path"
+        )
+        stats = client.get_stats()
+        assert stats.classify_batches == 2  # one per lone request
+    finally:
+        client.close()
+        batched.stop()
+
+
 def test_client_retries_transient_unavailable(served):
     """The client retries UNAVAILABLE with backoff: a call made while
     the server is briefly down succeeds once it returns."""
