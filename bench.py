@@ -181,6 +181,7 @@ def main():
         # benching all three lets the best variant win the headline
         # and gracefully skips any that a Mosaic version rejects.
         "fused": RadarPredictor(mode="fused", **kw),
+        "fused_g": RadarPredictor(mode="fused", fused_tail="glookup", **kw),
         "fused_sel": RadarPredictor(mode="fused", fused_tail="sel", **kw),
         "fused_sel3": RadarPredictor(mode="fused", fused_tail="sel3", **kw),
         "pallas": RadarPredictor(mode="pallas", cube_dtype="bfloat16", **kw),
@@ -192,9 +193,10 @@ def main():
     # its one JSON line. Free on non-TPU backends (interpret mode).
     from radarml_tpu.utils.mosaic_gate import gate_fused_variants
 
-    fused_tail_of = {"fused": "lookup", "fused_sel": "sel", "fused_sel3": "sel3"}
+    fused_tail_of = {"fused": "lookup", "fused_g": "glookup",
+                     "fused_sel": "sel", "fused_sel3": "sel3"}
     ok_tails = gate_fused_variants(
-        tails=list(dict.fromkeys(fused_tail_of.values())),
+        tails=list(dict.fromkeys(fused_tail_of.values())) + ["tables"],
         batch=BATCH,  # probe the exact program the bench will compile
         log=lambda m: print(f"# {m}", file=sys.stderr),
     )
@@ -280,6 +282,66 @@ def main():
         print(f"# device latency failed: {type(e).__name__}", file=sys.stderr)
         dev_ms = None
 
+    # Tables-only kernel rate: the fused paths' upper bound (the raw
+    # one-HBM-pass kernel with no scoring tail). Folding it into the
+    # record keeps the kernel→pipeline gap visible in BENCH_r{N}.json
+    # itself instead of a separate probe.
+    r_tables = None
+    if "tables" in ok_tails and "fused" in predictors:
+        try:
+            from radarml_tpu.core.arena import DEFAULT_ARENA as _A
+            from radarml_tpu.ops.pallas_i8_score import (
+                build_onepass_weights,
+                onepass_tables_i8,
+            )
+
+            packer = predictors["fused"]
+            quant = packer._quantized_split_templates()
+            w = build_onepass_weights(
+                quant, (_A.size_x, _A.size_y, _A.size_z),
+                y_group=packer._pack_y_group,
+            )
+            interp = jax.devices()[0].platform != "tpu"
+            tab = jax.jit(
+                lambda ck: onepass_tables_i8(ck, w, interpret=interp)
+            )
+            cube_k = put_cubes(cubes_np, packer)
+            _ = jax.device_get(tab(cube_k)[0][:1])
+            per_batch = slope_time(
+                lambda: tab(cube_k),
+                lambda o: jax.device_get(o[0][:1, :1]),
+            )
+            r_tables = BATCH / per_batch
+        except Exception as e:
+            print(f"# tables-only rate failed: {type(e).__name__}",
+                  file=sys.stderr)
+
+    # Direct-attach end-to-end p50: the tunnel dominates this host's
+    # p50_single_scan_ms (~28 ms RTT vs µs of chip time), so the record
+    # also carries the same host-in/detections-out path measured on a
+    # directly-attached backend (this host's CPU — the weakest
+    # direct-attach case; methodology: benchmarks/e2e_latency.py).
+    # Child process: the CPU backend must be chosen before jax init.
+    e2e_ms = None
+    try:
+        import os
+        import subprocess
+
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, "benchmarks/e2e_latency.py"],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                e2e_ms = float(json.loads(line)["value"])
+                break
+    except Exception as e:
+        print(f"# direct-attach e2e probe failed: {type(e).__name__}",
+              file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -291,6 +353,16 @@ def main():
                 **(
                     {"p50_device_scan_ms": round(dev_ms, 4)}
                     if dev_ms is not None
+                    else {}
+                ),
+                **(
+                    {"e2e_direct_attach_p50_ms": round(e2e_ms, 3)}
+                    if e2e_ms is not None
+                    else {}
+                ),
+                **(
+                    {"scans_per_sec_fused_tables_only": round(r_tables, 1)}
+                    if r_tables is not None
                     else {}
                 ),
                 "batch": BATCH,

@@ -14,9 +14,14 @@ Prints one JSON line.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# Runnable as `python benchmarks/e2e_latency.py` from anywhere.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

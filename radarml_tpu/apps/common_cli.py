@@ -159,7 +159,13 @@ def parse_arena(spec: str, default: Arena = DEFAULT_ARENA) -> Arena:
     )
 
 
+def _parse_bool(value: str) -> bool:
+    return str(value).lower() not in ("0", "false", "no", "")
+
+
 def add_driver_flags(parser: argparse.ArgumentParser):
+    from radarml_tpu.drivers.base import DEFAULT_THRESHOLD
+
     parser.add_argument(
         "--driver", type=str, default="synthetic",
         choices=["synthetic", "native", "walabot"],
@@ -170,15 +176,34 @@ def add_driver_flags(parser: argparse.ArgumentParser):
         help="simulated sensor scan period in seconds",
     )
     parser.add_argument("--driver_seed", type=int, default=1234)
+    parser.add_argument(
+        "--threshold", type=float, default=DEFAULT_THRESHOLD,
+        help="radar sensitivity threshold applied at session configure "
+             "(reference predict.py:203 SetThreshold(5))",
+    )
+    parser.add_argument(
+        "--mti", type=_parse_bool, default=True,
+        help="enable the MTI dynamic image filter; with --mti=false the "
+             "session runs the explicit calibration loop before scanning "
+             "(reference predict.py:207-213 SetDynamicImageFilter + "
+             "common.calibrate)",
+    )
 
 
 def build_driver(args, arena: Arena = DEFAULT_ARENA):
+    threshold = getattr(args, "threshold", None)
+    mti = getattr(args, "mti", True)
+    if threshold is None:
+        from radarml_tpu.drivers.base import DEFAULT_THRESHOLD
+
+        threshold = DEFAULT_THRESHOLD
     if args.driver == "synthetic":
         from radarml_tpu.drivers import SyntheticRadar
 
         return SyntheticRadar(
             arena=arena, seed=args.driver_seed,
             scan_period_s=args.scan_period, max_targets=2,
+            threshold=threshold, mti=mti,
         )
     if args.driver == "native":
         from radarml_tpu.drivers import NativeRadar
@@ -186,6 +211,7 @@ def build_driver(args, arena: Arena = DEFAULT_ARENA):
         return NativeRadar(
             arena=arena, seed=args.driver_seed,
             scan_period_us=args.scan_period * 1e6,
+            threshold=threshold, mti=mti,
         )
     from radarml_tpu.drivers import WalabotRadar, walabot_available
 
@@ -193,7 +219,7 @@ def build_driver(args, arena: Arena = DEFAULT_ARENA):
         raise SystemExit(
             "walabot driver requires the vendor WalabotAPI SDK wheel"
         )
-    return WalabotRadar(arena=arena)
+    return WalabotRadar(arena=arena, threshold=threshold, mti=mti)
 
 
 # --------------------------------------------------------------------------

@@ -116,10 +116,14 @@ def main(argv=None) -> dict:
 
     # Architecture summary next to the checkpoint (the reference dumps
     # plot_model PNGs here, dnn.py:426-427).
-    from radarml_tpu.utils.summary import write_model_summary
+    from radarml_tpu.utils.summary import plot_model_png, write_model_summary
 
     write_model_summary(
         os.path.join(args.results_dir, "c_model_summary.txt"),
+        params, title=f"MultiViewCNN n_classes={n_classes} rescale={RESCALE}",
+    )
+    plot_model_png(
+        os.path.join(args.results_dir, "dnn_model.png"),
         params, title=f"MultiViewCNN n_classes={n_classes} rescale={RESCALE}",
     )
 

@@ -106,7 +106,7 @@ def main(argv=None) -> dict:
 
     # Architecture summaries next to the checkpoints (the reference
     # dumps plot_model PNGs here, sgan.py:750-765).
-    from radarml_tpu.utils.summary import write_model_summary
+    from radarml_tpu.utils.summary import plot_model_png, write_model_summary
 
     write_model_summary(
         os.path.join(args.results_dir, "g_model_summary.txt"),
@@ -116,6 +116,29 @@ def main(argv=None) -> dict:
         os.path.join(args.results_dir, "d_model_summary.txt"),
         state.d_params,
         title=f"SGAN discriminator (c+d heads) n_classes={n_classes}",
+    )
+    # Graphical dumps matching the reference's four plot_model PNGs
+    # (sgan.py:750-765). c_model shares d_model's weights (shared-logit
+    # heads, models/sgan.py), so its PNG renders the same tree; the gan
+    # composite is generator+discriminator.
+    plot_model_png(
+        os.path.join(args.results_dir, "sgan_g_model.png"),
+        state.g_params, title=f"SGAN generator rescale={rescale}",
+    )
+    plot_model_png(
+        os.path.join(args.results_dir, "sgan_d_model.png"),
+        state.d_params,
+        title=f"SGAN discriminator (d head) n_classes={n_classes}",
+    )
+    plot_model_png(
+        os.path.join(args.results_dir, "sgan_c_model.png"),
+        state.d_params,
+        title=f"SGAN classifier (c head, weights shared with d)",
+    )
+    plot_model_png(
+        os.path.join(args.results_dir, "sgan_gan_model.png"),
+        {"generator": state.g_params, "discriminator": state.d_params},
+        title="SGAN composite (g → d, BN-only trainable in d)",
     )
 
     state = train_sgan(

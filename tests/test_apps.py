@@ -300,6 +300,61 @@ def test_dnn_app_writes_model_and_summary(workdir):
     assert summary_path.exists()
     text = summary_path.read_text()
     assert "MultiViewCNN" in text and "total parameters:" in text
+    # plot_model-equivalent PNG beside the checkpoint (ref dnn.py:426-427)
+    png = workdir / "dnn-results" / "dnn_model.png"
+    assert png.exists() and png.stat().st_size > 5_000
+
+
+def test_plot_model_png_renders_param_tree(tmp_path):
+    import jax.numpy as jnp
+
+    from radarml_tpu.utils.summary import plot_model_png
+
+    params = {
+        "conv": {"kernel": jnp.zeros((3, 3, 1, 8)), "bias": jnp.zeros((8,))},
+        "head": {"kernel": jnp.zeros((8, 3))},
+    }
+    out = tmp_path / "model.png"
+    plot_model_png(str(out), params, title="tiny")
+    assert out.exists() and out.stat().st_size > 5_000
+
+
+def test_driver_flags_threshold_and_mti(workdir, trained, monkeypatch):
+    """--threshold / --mti are first-class session config (reference
+    predict.py:203-213 SetThreshold + SetDynamicImageFilter): the values
+    reach the driver, and --mti=false runs the explicit calibration loop
+    before the scan loop (reference common.py:82-91 via predict.py:211)."""
+    import argparse
+
+    from radarml_tpu.apps import predict as predict_app
+    from radarml_tpu.apps.common_cli import add_driver_flags, build_driver
+    from radarml_tpu.drivers import base as driver_base
+
+    p = argparse.ArgumentParser()
+    add_driver_flags(p)
+    args = p.parse_args(["--threshold", "7.5", "--mti", "false"])
+    driver = build_driver(args)
+    assert driver.threshold == 7.5 and driver.mti is False
+    assert build_driver(p.parse_args([])).threshold == 5.0  # reference default
+
+    calibrated = []
+    real_calibrate = driver_base.calibrate
+
+    def spying_calibrate(d, max_triggers=100):
+        n = real_calibrate(d, max_triggers)
+        calibrated.append(n)
+        return n
+
+    monkeypatch.setattr(driver_base, "calibrate", spying_calibrate)
+    results = predict_app.main(
+        ["--num_scans", "2", "--min_proba", "0.0", "--mti", "false"]
+    )
+    assert results
+    assert calibrated and calibrated[0] > 0  # calibration loop actually ran
+
+    calibrated.clear()
+    predict_app.main(["--num_scans", "2", "--min_proba", "0.0"])
+    assert not calibrated  # MTI on (default): no calibration pass
 
 
 def test_predict_app_cross_scan_arena(workdir, trained):
