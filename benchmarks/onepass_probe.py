@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--cpu", action="store_true",
                     help="CPU backend smoke run (interpret-mode kernels)")
+    ap.add_argument("--rounds", type=int, default=1,
+                    help="interleaved timing rounds per variant. The dev "
+                         "tunnel's device state drifts on a scale of "
+                         "minutes — single-shot per-variant rates "
+                         "measured back-to-back can reorder between "
+                         "runs (observed 2x swings). Interleaving R "
+                         "rounds over ALL variants and taking medians "
+                         "makes the ordering defensible.")
     args = ap.parse_args()
     BATCH = args.batch
 
@@ -98,13 +106,13 @@ def main():
     from radarml_tpu.utils.mosaic_gate import gate_fused_variants
 
     ok = set(gate_fused_variants(
-        tails=("lookup", "sel", "sel3", "tables"),
+        tails=("lookup", "glookup", "sel", "sel3", "tables"),
         batch=BATCH,  # probe the exact program the probe will compile
         log=lambda m: print(f"# {m}", file=sys.stderr),
     ))
     gate_errors = {
         f"fused_{t}" if t != "lookup" else "fused": "mosaic gate rejected"
-        for t in ("lookup", "sel", "sel3") if t not in ok
+        for t in ("lookup", "glookup", "sel", "sel3") if t not in ok
     }
 
     predictors = {
@@ -112,6 +120,9 @@ def main():
     }
     if "lookup" in ok:
         predictors["fused"] = RadarPredictor(mode="fused", **kw)
+    if "glookup" in ok:
+        predictors["fused_glookup"] = RadarPredictor(
+            mode="fused", fused_tail="glookup", **kw)
     if "sel" in ok:
         predictors["fused_sel"] = RadarPredictor(
             mode="fused", fused_tail="sel", **kw)
@@ -168,19 +179,16 @@ def main():
         default=float("nan"),
     )
 
-    rates = {}
-    for name, p in predictors.items():
-        if name in errors:
-            continue
-        try:
-            rates[name] = BATCH / slope(
-                lambda: p(*inputs(name)),
-                lambda o: jax.device_get(o[0][:1]),
-            )
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
-
-    # raw kernel without any tail (upper bound for the fused paths)
+    # Timing closures, all warm after the agreement pass above; the
+    # raw tables-only kernel (no scoring tail) joins as the fused
+    # paths' upper bound.
+    timers = {
+        name: (lambda p=p, name=name: BATCH / slope(
+            lambda: p(*inputs(name)),
+            lambda o: jax.device_get(o[0][:1]),
+        ))
+        for name, p in predictors.items() if name not in errors
+    }
     try:
         if "tables" not in ok:
             raise RuntimeError("mosaic gate rejected")
@@ -193,17 +201,33 @@ def main():
         interp = jax.devices()[0].platform != "tpu"
         tab = jax.jit(lambda ck: onepass_tables_i8(ck, w, interpret=interp))
         cube_k = packed_once  # same universal wire layout as w
-        _ = jax.device_get(tab(cube_k)[0][:1])
-        r_tab = BATCH / slope(lambda: tab(cube_k),
-                              lambda o: jax.device_get(o[0][:1, :1]))
+        _ = jax.device_get(tab(cube_k)[0][:1])  # warm
+        timers["fused_tables_only"] = lambda: BATCH / slope(
+            lambda: tab(cube_k), lambda o: jax.device_get(o[0][:1, :1])
+        )
     except Exception as e:  # noqa: BLE001
         errors["fused_tables_only"] = f"{type(e).__name__}: {str(e)[:200]}"
-        r_tab = float("nan")
+
+    # Interleaved rounds: every variant is measured in every round, so
+    # a device-state episode hits all variants alike instead of
+    # whichever happened to be on the bench at the time.
+    runs = {name: [] for name in timers}
+    for _ in range(max(args.rounds, 1)):
+        for name, t in timers.items():
+            try:
+                runs[name].append(t())
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+    rates = {
+        name: float(np.median(v)) for name, v in runs.items() if v
+    }
+    r_tab = rates.pop("fused_tables_only", float("nan"))
 
     best = max(rates, key=rates.get) if rates else None
     print(json.dumps({
         **{f"scans_per_sec_{k}": round(v, 1) for k, v in rates.items()},
         "scans_per_sec_fused_tables_only": round(r_tab, 1),
+        "rounds": {k: [round(x, 1) for x in v] for k, v in runs.items()},
         "best": best,
         "best_over_fast": round(rates[best] / rates["fast_i8"], 3)
         if best is not None and "fast_i8" in rates else None,

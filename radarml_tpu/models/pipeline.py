@@ -124,15 +124,18 @@ class RadarPredictor:
     # bit-identical decisions to fast+int8.
     mode: str = "exact"
     # fused-mode lookup tail (benchmarks/onepass_probe.py):
-    #   "lookup" — kernel emits the raw m1/m2/m3 tables; XLA reads
-    #              them with lane-wise masked sums.
-    #   "sel"    — the z-table (the largest, (Z, C2, B)) never leaves
-    #              the kernel: per-target z rows are selected against
-    #              program_id each grid step.
-    #   "sel3"   — ALL three lookups fold in-kernel (m1/m2 accumulate
-    #              in VMEM scratch, one-hot row selection at the last
-    #              z-step); the XLA tail is dequant+calibrate only.
-    # All three are decision-identical; the default follows the
+    #   "lookup"  — kernel emits the raw m1/m2/m3 tables; XLA reads
+    #               them with lane-wise masked sums.
+    #   "glookup" — same XLA tail, but the kernel runs y-grouped dots
+    #               (~29% fewer MACs; the kernel is MXU-bound at bulk
+    #               batches — ops/pallas_i8_score._kernel_grouped_tables).
+    #   "sel"     — the z-table (the largest, (Z, C2, B)) never leaves
+    #               the kernel: per-target z rows are selected against
+    #               program_id each grid step.
+    #   "sel3"    — ALL three lookups fold in-kernel (m1/m2 accumulate
+    #               in VMEM scratch, one-hot row selection at the last
+    #               z-step); the XLA tail is dequant+calibrate only.
+    # All four are decision-identical; the default follows the
     # fastest measured variant on a v5e.
     fused_tail: str = "lookup"
     mesh: object = None  # optional jax Mesh: shard scans over 'data'
@@ -162,9 +165,10 @@ class RadarPredictor:
         if self.mode == "fused":
             if not is_linear:
                 raise ValueError("fused mode folds linear models only")
-            if self.fused_tail not in ("lookup", "sel", "sel3"):
+            if self.fused_tail not in ("lookup", "glookup", "sel", "sel3"):
                 raise ValueError(
-                    "fused_tail must be 'lookup', 'sel' or 'sel3'"
+                    "fused_tail must be 'lookup', 'glookup', 'sel' "
+                    "or 'sel3'"
                 )
             # The kernel's wire format IS int8 (value-128, packed
             # scan-minor); every requested stream dtype resolves to it
@@ -465,6 +469,7 @@ class RadarPredictor:
             build_onepass_weights,
             onepass_scores_i8,
             onepass_tables_i8,
+            onepass_tables_grouped_i8,
             onepass_tables_sel_i8,
         )
 
@@ -472,10 +477,11 @@ class RadarPredictor:
         scan = self.scan_arena
         quant = self._quantized_split_templates()
         dims = (scan.size_x, scan.size_y, scan.size_z)
-        if tail == "sel3":
-            # y-grouped GRID: ~30% less dense-MXU waste (ops module
-            # docstring). All tails share the grouped WIRE layout
-            # (self._pack_y_group), so one packed batch serves any.
+        if tail in ("sel3", "glookup"):
+            # y-grouped GRID: ~30% fewer MACs (the kernel is MXU-bound
+            # at bulk batches; ops module docstring). All tails share
+            # the grouped WIRE layout (self._pack_y_group), so one
+            # packed batch serves any.
             weights = build_grouped_weights(
                 quant, dims, y_group=self._pack_y_group
             )
@@ -500,37 +506,57 @@ class RadarPredictor:
             )
         )
 
-        def lookup_c2d(m_c2db, idx):
-            """(C2, D, B) raw table, (B, T) indices → (B, T, C2)."""
-            D = m_c2db.shape[1]
+        def dequant_cd(m_c2db, sc):
+            """(C2, D, B) int32 raw table → (C, D, B) f32 dequantized.
+
+            Dequantizing BEFORE the lookup halves the masked-sum read
+            traffic (C rows instead of C2 = 2C) at the cost of one
+            cheap streaming pass over the table. Bit-identical to
+            dequantizing the looked-up values: the lookup selects a
+            single element, and s1*select(m) == select(s1*m) in f32.
+            """
+            s1, s2, const = sc
+            return (
+                m_c2db[:C].astype(jnp.float32) * s1[:, None, None]
+                + m_c2db[C:].astype(jnp.float32) * s2[:, None, None]
+            )
+
+        def lookup_cd(m_cdb, idx):
+            """(C, D, B) dequantized table, (B, T) indices → (B, T, C)."""
+            D = m_cdb.shape[1]
             eq = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, D, 1, 1), 1)
                 == idx.T[None, None, :, :]
             )  # (1, D, T, B)
-            r = jnp.sum(
-                m_c2db[:, :, None, :].astype(jnp.float32) * eq, axis=1
-            )  # (C2, T, B)
+            r = jnp.sum(m_cdb[:, :, None, :] * eq, axis=1)  # (C, T, B)
             return r.transpose(2, 1, 0)
 
-        def lookup_dc2(m_dc2b, idx):
-            """(D, C2, B) raw table (kernel-native m3 order)."""
-            D = m_dc2b.shape[0]
+        def dequant_dc(m_dc2b, sc):
+            """(D, C2, B) int32 raw table (kernel-native m3 order) →
+            (D, C, B) f32 dequantized."""
+            s1, s2, _ = sc
+            return (
+                m_dc2b[:, :C].astype(jnp.float32) * s1[None, :, None]
+                + m_dc2b[:, C:].astype(jnp.float32) * s2[None, :, None]
+            )
+
+        def lookup_dc(m_dcb, idx):
+            """(D, C, B) dequantized table, (B, T) indices → (B, T, C)."""
+            D = m_dcb.shape[0]
             eq = (
                 jax.lax.broadcasted_iota(jnp.int32, (D, 1, 1, 1), 0)
                 == idx.T[None, None, :, :]
             )  # (D, 1, T, B)
-            r = jnp.sum(
-                m_dc2b[:, :, None, :].astype(jnp.float32) * eq, axis=0
-            )  # (C2, T, B)
+            r = jnp.sum(m_dcb[:, :, None, :] * eq, axis=0)  # (C, T, B)
             return r.transpose(2, 1, 0)
-
-        def combine(r, sc):
-            s1, s2, const = sc
-            return r[..., :C] * s1 + r[..., C:] * s2 + const
 
         def selected(s, T):
             """Kernel-selected (C2, Tp, B) block → (B, T, C2) f32."""
             return s[:, :T, :].transpose(2, 1, 0).astype(jnp.float32)
+
+        def combine(r, sc):
+            s1, s2, const = sc
+            return r[..., :C] * s1 + r[..., C:] * s2 + const
 
         @jax.jit
         def predict_packed(cube_k, target_xyz, target_valid):
@@ -541,29 +567,41 @@ class RadarPredictor:
                 s1, s2, s3 = onepass_scores_i8(
                     cube_k, weights, ijk, interpret=interpret
                 )
-                reads = [selected(s, T) for s in (s1, s2, s3)]
+                for r, sc in zip(
+                    (selected(s, T) for s in (s1, s2, s3)), scales
+                ):
+                    if sc is not None:
+                        dec = dec + combine(r, sc)
             else:
                 if tail == "sel":
                     m1, m2, d3 = onepass_tables_sel_i8(
                         cube_k, weights, ijk[..., 2], interpret=interpret
                     )
-                    r3 = selected(d3, T)
+                    if scales[2] is not None:
+                        dec = dec + combine(selected(d3, T), scales[2])
                 else:
-                    m1, m2, m3 = onepass_tables_i8(
-                        cube_k, weights, interpret=interpret
-                    )
-                    r3 = (
-                        lookup_dc2(m3, ijk[..., 2])
-                        if scales[2] is not None else None
-                    )
-                reads = [
-                    lookup_c2d(m1, ijk[..., 1]),
-                    lookup_c2d(m2, ijk[..., 0]),
-                    r3,
-                ]
-            for r, sc in zip(reads, scales):
-                if sc is not None and r is not None:
-                    dec = dec + combine(r, sc)
+                    if tail == "glookup":
+                        m1, m2, m3 = onepass_tables_grouped_i8(
+                            cube_k, weights, interpret=interpret
+                        )
+                    else:
+                        m1, m2, m3 = onepass_tables_i8(
+                            cube_k, weights, interpret=interpret
+                        )
+                    if scales[2] is not None:
+                        dec = dec + lookup_dc(
+                            dequant_dc(m3, scales[2]), ijk[..., 2]
+                        ) + scales[2][2]
+                # Dequant-then-lookup (see dequant_cd): half the
+                # masked-sum reads, bit-identical decisions.
+                if scales[0] is not None:
+                    dec = dec + lookup_cd(
+                        dequant_cd(m1, scales[0]), ijk[..., 1]
+                    ) + scales[0][2]
+                if scales[1] is not None:
+                    dec = dec + lookup_cd(
+                        dequant_cd(m2, scales[1]), ijk[..., 0]
+                    ) + scales[1][2]
             dec = dec.reshape(B * T, C)
             if calib is not None:
                 proba = calibrated_from_decision(dec, calib)

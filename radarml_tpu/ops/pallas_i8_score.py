@@ -88,6 +88,7 @@ __all__ = [
     "build_onepass_weights",
     "onepass_tables_i8",
     "onepass_tables_sel_i8",
+    "onepass_tables_grouped_i8",
     "GroupedWeights",
     "best_y_group",
     "build_grouped_weights",
@@ -519,6 +520,160 @@ def build_grouped_weights(
         w1=jnp.asarray(w1), w2=jnp.asarray(w2), w3=jnp.asarray(w3),
         dims=(X, Y, Z, C2 // 2), y_group=Yg,
     )
+
+
+def _kernel_grouped_tables(
+    C2,
+    cube_ref, w1_ref, w2_ref, w3_ref, o1_ref, o2_ref, o3_ref,
+):
+    """Grouped-dot variant of _kernel: same raw tables, ~29% fewer MACs.
+
+    The ungrouped w1 dot is a δ_{y,y'} block-diagonal (C2·Yp, X·Yp)
+    contraction — 97% structural zeros ground through the MXU. At
+    batch 2048 the one-pass kernel is MXU-BOUND (83.8G MACs ≈ 0.42 ms
+    at v5e int8 peak ≈ the measured tables-only rate), so splitting y
+    into NG groups shrinks the w1 dot from (C2·Yp, X·Yp) to NG ×
+    (C2·Yg, X·Yg) — MACs ∝ Yg — while w2/w3 MACs stay constant.
+    Unlike _kernel_scores (the sel3 kernel), NOTHING else moves
+    in-kernel: no per-step VPU select/broadcast (sel3's measured
+    regression), just three MXU dots per (z, group) step and the same
+    XLA lookup tail as _kernel.
+
+    m1 accumulates per-group via a dynamic leading index on the
+    VMEM-resident output (constant index map); m2 across the whole
+    grid; m3's z-row block persists across the minor g steps.
+    """
+    z = pl.program_id(0)
+    g = pl.program_id(1)
+    blk = cube_ref[...]  # (X·Yg, B) int8 — this (z, group), all scans
+    dn = (((1,), (0,)), ((), ()))
+
+    def dot(w):
+        return jax.lax.dot_general(
+            w, blk, dn, preferred_element_type=jnp.int32
+        )
+
+    p1 = dot(w1_ref[0, 0])
+    p2 = dot(w2_ref[0, 0])
+    p3 = dot(w3_ref[0])  # (C2, B)
+
+    @pl.when(z == 0)
+    def _init1():
+        o1_ref[g] = p1
+
+    @pl.when(z != 0)
+    def _acc1():
+        o1_ref[g] += p1
+
+    first = jnp.logical_and(z == 0, g == 0)
+
+    @pl.when(first)
+    def _init2():
+        o2_ref[...] = p2
+
+    @pl.when(jnp.logical_not(first))
+    def _acc2():
+        o2_ref[...] += p2
+
+    @pl.when(g == 0)
+    def _init3():
+        o3_ref[0] = p3
+
+    @pl.when(g != 0)
+    def _acc3():
+        o3_ref[0] += p3
+
+
+def onepass_tables_grouped_i8(
+    cube_k: jax.Array,
+    weights: GroupedWeights,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One-pass raw tables via grouped dots (see _kernel_grouped_tables).
+
+    Same contract as onepass_tables_i8 — returns (m1 (C2, Yp, B),
+    m2 (C2, X, B), m3 (Z, C2, B)) int32, identical values — but takes
+    GroupedWeights and runs the MAC-lean (Z, NG) grid. The group-major
+    m1 block ungroups with one cheap XLA transpose.
+    """
+    if not isinstance(weights, GroupedWeights):
+        raise TypeError("onepass_tables_grouped_i8 takes GroupedWeights "
+                        "(build_grouped_weights)")
+    X, Y, Z, C = weights.dims
+    C2 = 2 * C
+    Yp = _round_up(Y, _SUBLANE)
+    Yg = weights.y_group
+    NG = Yp // Yg
+    m1g, m2, m3 = _onepass_tables_grouped_i8(
+        cube_k, weights.w1, weights.w2, weights.w3,
+        dims=weights.dims, y_group=Yg, interpret=interpret,
+    )
+    m1 = (
+        m1g.reshape(NG, C2, Yg, m1g.shape[-1])
+        .transpose(1, 0, 2, 3)
+        .reshape(C2, Yp, m1g.shape[-1])
+    )
+    return m1, m2.reshape(C2, X, m2.shape[-1]), m3
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dims", "y_group", "interpret")
+)
+def _onepass_tables_grouped_i8(
+    cube_k: jax.Array,
+    w1: jax.Array,
+    w2: jax.Array,
+    w3: jax.Array,
+    dims: Tuple[int, int, int, int],
+    y_group: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    X, Y, Z, C = dims
+    C2 = 2 * C
+    Yp = _round_up(Y, _SUBLANE)
+    Yg = y_group
+    NG = Yp // Yg
+    XYp, ZB = cube_k.shape
+    if XYp != X * Yp or ZB % Z:
+        raise ValueError(f"packed cube shape {cube_k.shape} does not "
+                         f"match arena dims {(X, Y, Z)}")
+    B = ZB // Z
+    m1g, m2, m3 = pl.pallas_call(
+        functools.partial(_kernel_grouped_tables, C2),
+        grid=(Z, NG),
+        in_specs=[
+            pl.BlockSpec(
+                (X * Yg, B), lambda z, g: (g, z), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, C2 * Yg, X * Yg), lambda z, g: (z, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, C2 * X, X * Yg), lambda z, g: (z, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, C2, X * Yg), lambda z, g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((NG, C2 * Yg, B), lambda z, g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2 * X, B), lambda z, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C2, B), lambda z, g: (z, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NG, C2 * Yg, B), jnp.int32),
+            jax.ShapeDtypeStruct((C2 * X, B), jnp.int32),
+            jax.ShapeDtypeStruct((Z, C2, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cube_k, w1, w2, w3)
+    return m1g, m2, m3
 
 
 def _kernel_scores(
