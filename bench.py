@@ -127,8 +127,16 @@ def main():
 
     from radarml_tpu.apps.common_cli import warm_transfers
 
+    t_start = time.perf_counter()
+
+    def mark(phase):
+        # stderr phase markers: make a driver-side timeout diagnosable.
+        print(f"# t+{time.perf_counter() - t_start:.0f}s {phase}",
+              file=sys.stderr, flush=True)
+
     warm_transfers()  # prime the tunnel's device→host path (CLAUDE.md)
     ready.set()  # device round-trip done; compiles may take arbitrarily long
+    mark("transfers warm")
 
     from radarml_tpu.core.arena import DEFAULT_ARENA
     from radarml_tpu.data.labels import LabelEncoder
@@ -208,6 +216,8 @@ def main():
             )
             del predictors[name]
 
+    mark("mosaic gate done")
+
     # --- benchmark input: batch of scans, 4 target slots each ------------
     cubes_np, targets = make_scan_batch(BATCH, seed=7)
     cubes_np = np.rint(cubes_np)  # 8-bit radar range → bf16-exact
@@ -228,7 +238,7 @@ def main():
             jnp.asarray(arr, dtype=jnp.dtype(predictor.cube_dtype))
         )
 
-    rates = {}
+    timers = {}
     for name, predictor in predictors.items():
         try:
             cubes = put_cubes(cubes_np, predictor)
@@ -237,12 +247,47 @@ def main():
         except Exception as e:  # keep the bench robust to kernel regressions
             print(f"# mode {name} failed: {type(e).__name__}", file=sys.stderr)
             continue
-        per_batch = slope_time(
-            lambda: predictor(cubes, xyz, valid),
-            lambda out: jax.device_get(out[0][:1]),
+        timers[name] = (
+            lambda predictor=predictor, cubes=cubes: BATCH / slope_time(
+                lambda: predictor(cubes, xyz, valid),
+                lambda out: jax.device_get(out[0][:1]),
+            )
         )
-        rates[name] = BATCH / per_batch
+    mark("warmup compiles done")
+    # Interleaved rounds + medians: the dev tunnel's device state
+    # drifts on a scale of minutes and swings single-shot slope rates
+    # 2-6x (benchmarks/onepass_probe.py --rounds records the raw
+    # spread), which reordered the fused variants between BENCH_r02,
+    # BENCH_r03 and in-process probes with zero code change. Measuring
+    # every mode in every round makes a drift episode hit all modes
+    # alike, and the median absorbs the episodes — so the headline and
+    # the mode ordering in BENCH_r{N}.json are defensible rather than
+    # a snapshot of whichever mode was on the bench in a good minute.
+    # Only the CONTESTED modes (the headline contenders, whose gaps
+    # are within drift) pay the extra rounds; the legacy modes sit
+    # 2-10x apart and one round orders them fine — this keeps the
+    # bench inside the driver's time budget. Rounds are seconds each
+    # (the compiles above are the expensive part), and the short
+    # sleep spreads them across ~1 min of device state so the median
+    # samples more than one drift episode.
+    contested = {"fast_i8", "fused", "fused_g", "fused_sel", "fused_sel3"}
+    runs = {name: [] for name in timers}
+    for rnd in range(7):
+        if rnd > 0:
+            time.sleep(3)
+        for name, t in timers.items():
+            if rnd > 0 and name not in contested:
+                continue
+            try:
+                runs[name].append(t())
+            except Exception as e:
+                print(f"# mode {name} round failed: {type(e).__name__}",
+                      file=sys.stderr)
+    rates = {
+        name: float(np.median(v)) for name, v in runs.items() if v
+    }
 
+    mark("interleaved rounds done")
     if not rates:
         # Keep the one-JSON-line contract even in total regression.
         print(json.dumps({"metric": "radar scans/sec (preprocess+classify) per chip",
@@ -273,6 +318,7 @@ def main():
         _ = jax.device_get(out[0])
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
+    mark("p50 latency done")
 
     # Device-only latency: chip compute per scan without the dispatch
     # tunnel (methodology in device_latency_ms docstring / README).
@@ -282,39 +328,63 @@ def main():
         print(f"# device latency failed: {type(e).__name__}", file=sys.stderr)
         dev_ms = None
 
+    mark("device latency done")
+
     # Tables-only kernel rate: the fused paths' upper bound (the raw
     # one-HBM-pass kernel with no scoring tail). Folding it into the
     # record keeps the kernel→pipeline gap visible in BENCH_r{N}.json
     # itself instead of a separate probe.
     r_tables = None
+    r_gtables = None
     if "tables" in ok_tails and "fused" in predictors:
         try:
             from radarml_tpu.core.arena import DEFAULT_ARENA as _A
             from radarml_tpu.ops.pallas_i8_score import (
+                build_grouped_weights,
                 build_onepass_weights,
+                onepass_tables_grouped_i8,
                 onepass_tables_i8,
             )
 
             packer = predictors["fused"]
             quant = packer._quantized_split_templates()
-            w = build_onepass_weights(
-                quant, (_A.size_x, _A.size_y, _A.size_z),
-                y_group=packer._pack_y_group,
-            )
+            dims = (_A.size_x, _A.size_y, _A.size_z)
+            yg = packer._pack_y_group
+            w = build_onepass_weights(quant, dims, y_group=yg)
             interp = jax.devices()[0].platform != "tpu"
             tab = jax.jit(
                 lambda ck: onepass_tables_i8(ck, w, interpret=interp)
             )
             cube_k = put_cubes(cubes_np, packer)
             _ = jax.device_get(tab(cube_k)[0][:1])
-            per_batch = slope_time(
-                lambda: tab(cube_k),
-                lambda o: jax.device_get(o[0][:1, :1]),
+            # Grouped kernel: the default glookup tail's own upper
+            # bound (~29% fewer MACs than the ungrouped dots).
+            wg = build_grouped_weights(quant, dims, y_group=yg)
+            gtab = jax.jit(
+                lambda ck: onepass_tables_grouped_i8(ck, wg, interpret=interp)
             )
-            r_tables = BATCH / per_batch
+            _ = jax.device_get(gtab(cube_k)[0][:1])
+            tab_runs, gtab_runs = [], []
+            for rnd in range(5):  # interleaved, same rationale as above
+                if rnd > 0:
+                    time.sleep(3)
+                tab_runs.append(BATCH / slope_time(
+                    lambda: tab(cube_k),
+                    lambda o: jax.device_get(o[0][:1, :1]),
+                ))
+                gtab_runs.append(BATCH / slope_time(
+                    lambda: gtab(cube_k),
+                    lambda o: jax.device_get(o[0][:1, :1]),
+                ))
+            r_tables = float(np.median(tab_runs))
+            r_gtables = float(np.median(gtab_runs))
+            runs["tables_only"] = tab_runs
+            runs["gtables_only"] = gtab_runs
         except Exception as e:
             print(f"# tables-only rate failed: {type(e).__name__}",
                   file=sys.stderr)
+
+    mark("tables-only done")
 
     # Direct-attach end-to-end p50: the tunnel dominates this host's
     # p50_single_scan_ms (~28 ms RTT vs µs of chip time), so the record
@@ -342,6 +412,7 @@ def main():
         print(f"# direct-attach e2e probe failed: {type(e).__name__}",
               file=sys.stderr)
 
+    mark("e2e probe done")
     print(
         json.dumps(
             {
@@ -365,10 +436,20 @@ def main():
                     if r_tables is not None
                     else {}
                 ),
+                **(
+                    {"scans_per_sec_fused_gtables_only": round(r_gtables, 1)}
+                    if r_gtables is not None
+                    else {}
+                ),
                 "batch": BATCH,
                 "mode": best_mode,
                 "latency_mode": lat_mode,
                 **{f"scans_per_sec_{k}": round(v, 1) for k, v in rates.items()},
+                # raw per-round rates: the tunnel-drift spread behind
+                # each median, so the record carries its own error bars
+                "rounds": {
+                    k: [round(x, 1) for x in v] for k, v in runs.items()
+                },
                 "max_targets": MAX_TARGETS,
                 "device": str(jax.devices()[0]),
             }

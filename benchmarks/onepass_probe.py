@@ -207,6 +207,34 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         errors["fused_tables_only"] = f"{type(e).__name__}: {str(e)[:200]}"
+    try:
+        # The grouped kernel's own tail-free upper bound (glookup =
+        # this + the XLA lookup tail); the ungrouped tables rate above
+        # is NOT an upper bound for glookup, which does ~29% fewer
+        # MACs and 1/NG the w1 weight traffic.
+        if "glookup" not in ok:
+            raise RuntimeError("mosaic gate rejected")
+        from radarml_tpu.ops.pallas_i8_score import (
+            build_grouped_weights, onepass_tables_grouped_i8,
+        )
+
+        quant_g = packer._quantized_split_templates()
+        a = DEFAULT_ARENA
+        wg = build_grouped_weights(
+            quant_g, (a.size_x, a.size_y, a.size_z),
+            y_group=packer._pack_y_group,
+        )
+        interp = jax.devices()[0].platform != "tpu"
+        gtab = jax.jit(
+            lambda ck: onepass_tables_grouped_i8(ck, wg, interpret=interp)
+        )
+        _ = jax.device_get(gtab(packed_once)[0][:1])  # warm
+        timers["fused_gtables_only"] = lambda: BATCH / slope(
+            lambda: gtab(packed_once),
+            lambda o: jax.device_get(o[0][:1, :1]),
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["fused_gtables_only"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # Interleaved rounds: every variant is measured in every round, so
     # a device-state episode hits all variants alike instead of
@@ -222,11 +250,13 @@ def main():
         name: float(np.median(v)) for name, v in runs.items() if v
     }
     r_tab = rates.pop("fused_tables_only", float("nan"))
+    r_gtab = rates.pop("fused_gtables_only", float("nan"))
 
     best = max(rates, key=rates.get) if rates else None
     print(json.dumps({
         **{f"scans_per_sec_{k}": round(v, 1) for k, v in rates.items()},
         "scans_per_sec_fused_tables_only": round(r_tab, 1),
+        "scans_per_sec_fused_gtables_only": round(r_gtab, 1),
         "rounds": {k: [round(x, 1) for x in v] for k, v in runs.items()},
         "best": best,
         "best_over_fast": round(rates[best] / rates["fast_i8"], 3)

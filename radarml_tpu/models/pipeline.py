@@ -136,8 +136,12 @@ class RadarPredictor:
     #               in VMEM scratch, one-hot row selection at the last
     #               z-step); the XLA tail is dequant+calibrate only.
     # All four are decision-identical; the default follows the
-    # fastest measured variant on a v5e.
-    fused_tail: str = "lookup"
+    # fastest measured variant on a v5e — "glookup" won the
+    # interleaved 5-round median probe (3.14M scans/s vs 2.64M
+    # lookup / 2.73M sel3 / 2.28M sel; single-shot orderings swing
+    # 2-6x with tunnel device-state drift, so only interleaved
+    # medians are trusted — benchmarks/onepass_probe.py --rounds).
+    fused_tail: str = "glookup"
     mesh: object = None  # optional jax Mesh: shard scans over 'data'
     # Device dtype of the scan-cube stream. Radar cubes are 8-bit
     # sensor data (reference predict.py:90-91 GetRawImage yields
