@@ -119,17 +119,26 @@ def main():
         from radarml_tpu.train.trainer import TrainConfig, train_cnn
 
         t0 = time.perf_counter()
-        # Augmented, like the reference's DNN run (dnn.py --augment is
-        # its documented training recipe): without it the CNN overfits
-        # the small synthetic set and loses to the linear families.
+        # Augmented, train_concat mode: without augmentation the CNN
+        # overfits the small synthetic set and loses to the linear
+        # families. The reference's own --augment recipe (replace
+        # every sample pre-split, DC noise draw sigma=1.0 on [-1,1]
+        # data, dnn.py:94-209) DESTROYS this dataset — it drives the
+        # CNN to chance (0.36) because a clamped +-1 DC shift wipes
+        # the class signatures — so the quality run uses the
+        # framework's train-only concat mode (clean validation set,
+        # 2 mildly-noised augmented copies appended to train).
         def augment_fn(views, rng):
             return augment_multiview(
-                views, jax.random.PRNGKey(int(rng.integers(2**31)))
+                views, jax.random.PRNGKey(int(rng.integers(2**31))),
+                noise_sd=0.1,
             )
 
         pre = preprocess_multiview(samples, labels, rescale=RESCALE,
                                    train_split=0.8,
-                                   augment_fn=augment_fn, device=True)
+                                   augment_fn=augment_fn,
+                                   augment_mode="train_concat",
+                                   augment_copies=2, device=True)
         model = MultiViewCNN(n_classes=pre["n_classes"])
         params = model.init(
             jax.random.PRNGKey(0),

@@ -70,6 +70,8 @@ def preprocess_multiview(
     sup_mask: Optional[Sequence[bool]] = None,
     balance: bool = False,
     augment_fn=None,
+    augment_mode: str = "replace",
+    augment_copies: int = 1,
     seed: int = RANDOM_SEED,
     device: bool = False,
 ):
@@ -84,6 +86,17 @@ def preprocess_multiview(
         balance: balance the training set by upsampling (SGAN path).
         augment_fn: optional callable (views_stack, rng) → views_stack
             applied after scaling, before resize.
+        augment_mode: "replace" mirrors the reference exactly — every
+            sample (including what becomes validation data) is
+            REPLACED by its augmented version before the split
+            (dnn.py:207-209 augments the whole scaled list in place).
+            "train_concat" is the quality-oriented recipe the
+            reference lacks: the validation set stays clean, and
+            `augment_copies` augmented copies of the training samples
+            are APPENDED to the clean training set, so augmentation
+            only ever adds information.
+        augment_copies: number of augmented training-set copies to
+            append in "train_concat" mode.
         device: keep the resized view tensors device-resident (jax
             arrays) — the CNN/SGAN trainers consume them on device
             anyway, and the (N, h, w, 3) stack is the largest tensor in
@@ -98,8 +111,10 @@ def preprocess_multiview(
     xz, yz, xy = stack_samples(samples)
     xz, yz, xy = map(scale_to_symmetric, (xz, yz, xy))
 
+    if augment_mode not in ("replace", "train_concat"):
+        raise ValueError(f"unknown augment_mode: {augment_mode!r}")
     rng = np.random.default_rng(seed)
-    if augment_fn is not None:
+    if augment_fn is not None and augment_mode == "replace":
         xz, yz, xy = augment_fn((xz, yz, xy), rng)
 
     le, encoded = LabelEncoder.fit_transform(list(labels))
@@ -123,6 +138,38 @@ def preprocess_multiview(
     split = min(int(views.shape[0] * train_split), views.shape[0])
     X_train, y_train = views[:split], encoded[:split]
     X_val, y_val = views[split:], encoded[split:]
+
+    if augment_fn is not None and augment_mode == "train_concat":
+        # Augment only the TRAINING originals (at raw resolution, so
+        # the spatial transforms act on full detail) and append the
+        # resized copies to the clean training set; validation data is
+        # never touched.
+        tr_idx = idx[:split]
+        xs, ys = [X_train], [y_train]
+        for _ in range(max(1, augment_copies)):
+            a_xz, a_yz, a_xy = augment_fn(
+                (xz[tr_idx], yz[tr_idx], xy[tr_idx]), rng
+            )
+            aug = resize_views(
+                np.asarray(a_xz), np.asarray(a_yz), np.asarray(a_xy),
+                rescale,
+            )
+            xs.append(aug if device else np.asarray(aug, np.float32))
+            ys.append(y_train)
+        if X_val.size == 0:
+            # Preserve the clean-train fallback (sgan.py:722-723)
+            # BEFORE growth so validation never sees augmented copies.
+            X_val, y_val = X_train, y_train
+        if sup is not None:
+            # Augmented copies inherit their originals' supervised
+            # flags; keep the train/val slicing consistent below.
+            sup = np.concatenate(
+                [sup[:split]] * len(ys) + [sup[split:]]
+            )
+        cat = jnp.concatenate if device else np.concatenate
+        X_train = cat(xs, axis=0)
+        y_train = np.concatenate(ys, axis=0)
+        split = int(y_train.shape[0])
     out = {
         "n_classes": n_classes,
         "w_classes": w_classes,

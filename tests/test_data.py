@@ -166,6 +166,55 @@ def test_preprocess_multiview_shapes_and_split(rng):
     assert pre2["X_val"].shape[0] > 0
 
 
+def test_preprocess_multiview_train_concat_augment(rng):
+    """train_concat mode: validation stays clean, augmented copies are
+    appended to the clean train set with matching labels, and the sup
+    path keeps flags aligned (quality recipe; the reference's replace
+    mode, dnn.py:207-209, augments val data too)."""
+    import jax
+
+    from radarml_tpu.data.preprocess import preprocess_multiview
+    from radarml_tpu.data.synthetic import make_dataset
+    from radarml_tpu.ops.augment import augment_multiview
+
+    samples, labels = make_dataset(20, seed=3)
+
+    def aug(views, rng_np):
+        return augment_multiview(
+            views, jax.random.PRNGKey(int(rng_np.integers(2**31))),
+            noise_sd=0.1,
+        )
+
+    clean = preprocess_multiview(samples, labels, rescale=(16, 16),
+                                 train_split=0.75)
+    pre = preprocess_multiview(samples, labels, rescale=(16, 16),
+                               train_split=0.75, augment_fn=aug,
+                               augment_mode="train_concat",
+                               augment_copies=2)
+    n0 = clean["X_train"].shape[0]
+    assert pre["X_train"].shape[0] == 3 * n0
+    np.testing.assert_allclose(pre["X_val"], clean["X_val"])
+    np.testing.assert_array_equal(pre["y_val"], clean["y_val"])
+    np.testing.assert_allclose(pre["X_train"][:n0], clean["X_train"])
+    np.testing.assert_array_equal(pre["y_train"][:n0], clean["y_train"])
+    np.testing.assert_array_equal(pre["y_train"][n0:2 * n0],
+                                  clean["y_train"])
+    # copies are actually augmented, not clones
+    assert not np.allclose(pre["X_train"][n0:2 * n0], clean["X_train"])
+    # sup path: flags follow their originals; empty-val fallback is clean
+    pre_s = preprocess_multiview(
+        samples, labels, rescale=(16, 16), train_split=1.0,
+        sup_mask=[True] * 10 + [False] * 10, balance=True,
+        augment_fn=aug, augment_mode="train_concat", augment_copies=1,
+    )
+    assert pre_s["X_val"].shape[0] == 20
+    assert pre_s["sup_train"].shape[0] == pre_s["X_train"].shape[0]
+
+    with pytest.raises(ValueError):
+        preprocess_multiview(samples, labels, rescale=(16, 16),
+                             augment_fn=aug, augment_mode="bogus")
+
+
 def test_balance_classes_sup_mask_early_return_order(rng):
     """Already-balanced input with a sup mask returns (data, labels,
     sup) unchanged — the SGAN-variant order (reference sgan.py:336-337);
