@@ -31,11 +31,15 @@ summary line.
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
 
 import numpy as np
+
+# Runnable as `python benchmarks/serving_bench.py` from the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _build_predictor(dtype: str, batch_sizes, mode: str = "fast"):
@@ -298,8 +302,15 @@ def main():
     warm_transfers()
     ready.set()  # device reachable; compiles may take arbitrarily long
 
+    # The server's batcher pads to power-of-two buckets ≤ batch_size;
+    # precompile every bucket so timed phases never absorb a compile.
+    buckets = [
+        1 << i
+        for i in range(int(args.batch_size).bit_length())
+        if (1 << i) < args.batch_size
+    ] + [args.batch_size]
     predictor = _build_predictor(
-        args.dtype, [1, args.batch_size, args.stream_batch], args.mode
+        args.dtype, [1, *buckets, args.stream_batch], args.mode
     )
 
     scenarios = []

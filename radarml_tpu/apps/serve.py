@@ -90,9 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gRPC bind address; 0.0.0.0 accepts remote "
                         "edge clients")
     p.add_argument("--grpc_batch_window_ms", type=float, default=0.0,
-                   help="dynamic batching: coalesce concurrent Classify "
-                        "calls for up to this window into one device "
-                        "batch (0 = off)")
+                   help="dynamic batching: >0 enables leader-follower "
+                        "coalescing of concurrent Classify calls "
+                        "(bucketed padding, no hold window — the value "
+                        "is only an on/off switch; 0 = off)")
+    p.add_argument("--grpc_max_inflight_batches", type=int, default=4,
+                   help="dynamic batching: concurrent leader slots "
+                        "(device programs in flight); excess demand "
+                        "queues and coalesces")
     p.add_argument("--grpc_batch_size", type=int, default=8,
                    help="dynamic batching: max requests per device batch")
     p.add_argument("--grpc_publish", action="store_true",
@@ -299,6 +304,7 @@ def main(argv=None) -> dict:
             host=args.grpc_host,
             batch_window_ms=args.grpc_batch_window_ms,
             batch_size=args.grpc_batch_size,
+            max_concurrent_batches=args.grpc_max_inflight_batches,
         )
         # Compile the (1, T) Classify program before accepting traffic
         # so the first client RPC doesn't absorb a 30-90 s compile and
@@ -308,10 +314,10 @@ def main(argv=None) -> dict:
 
         T_rpc = int(getattr(predictor, "max_targets", 4))
         logger.info("warming gRPC classify program...")
-        # (1,T) serves unary Classify; (batch_size,T) serves both the
-        # dynamic batcher and the ClassifyStream bulk path, which pads
-        # to the same static shape.
-        rpc_batches = {1, max(int(args.grpc_batch_size), 1)}
+        # (1,T) serves unary Classify; the batcher and ClassifyStream
+        # pad to power-of-two bucket shapes, so compile every bucket
+        # now rather than stalling the first partially-loaded batch.
+        rpc_batches = {1} | set(rpc_server.batch_buckets)
         for b_rpc in sorted(rpc_batches):
             jax.block_until_ready(
                 predictor(

@@ -48,21 +48,39 @@ class RadarServingServer:
 
     Without batching, requests pad to a static (1, max_targets) program
     shape, so every call hits the same compiled executable. With
-    `batch_window_ms > 0`, concurrent Classify calls coalesce:
-    handler threads enqueue their (cube, targets) and block; a batcher
-    thread gathers up to `batch_size` requests, pads to the static
-    (batch_size, T) shape, runs ONE device program, and scatters the
-    rows back — classic dynamic batching, so K concurrent clients cost
-    one device pass instead of K serialized ones.
+    `batch_window_ms > 0`, concurrent Classify calls coalesce via
+    LEADER-FOLLOWER dynamic batching: a handler enqueues its request,
+    then competes for one of `max_concurrent_batches` leader slots. A
+    leader claims everything queued (up to `batch_size`), pads to the
+    smallest power-of-two bucket shape ≥ its batch (`batch_buckets`),
+    runs ONE device program inline on its own handler thread, and
+    wakes the followers whose rows it carried.
 
-    The coalescing window is ADAPTIVE: the batcher first drains
-    whatever is already pending without waiting; only when that yields
-    ≥2 requests (concurrency is evident) does it hold the batch open
-    for up to the window to catch stragglers. A lone request therefore
-    never pays the window — measured in SERVING_BENCH r03, a fixed
-    window cost 27-33% throughput at every concurrency level (1 client
-    12.3→9.0 scans/s) because each batch slept the full window even
-    when no second request could arrive.
+    Why this shape — two earlier designs measured SLOWER than no
+    batching at every operating point (SERVING_BENCH r03/r04):
+
+    * A dedicated batcher thread with a fixed (or adaptive) hold
+      window serializes the service into ONE device round trip at a
+      time. Over a high-latency link, N unbatched handler threads
+      overlap N round trips; a single-threaded batcher loses 30-50%
+      even with zero hold, and a 2-deep dispatch/complete pipeline
+      still loses 2× — the link rewards concurrency, and a thread
+      pipeline caps it.
+    * Padding every batch to the static `batch_size` ships the full
+      maximum transfer to serve one request (16 cubes of bytes for 1).
+
+    Leader-follower inverts both: concurrency scales with demand
+    (every handler can run the device program, exactly like the
+    unbatched path, so an unloaded or lightly loaded server is
+    indistinguishable from batching off), while coalescing emerges
+    from slot contention — when more than `max_concurrent_batches`
+    requests are in flight, the excess piles into the queue and the
+    next free leader carries them all in one program. No hold window,
+    no handoff threads, no idle sleeps: batching engages exactly when
+    it helps and costs nothing when it cannot.
+
+    Callers should pre-compile every bucket shape (`batch_buckets`)
+    before accepting traffic; apps/serve.py does.
     """
 
     def __init__(
@@ -77,6 +95,7 @@ class RadarServingServer:
         host: str = "127.0.0.1",
         batch_window_ms: float = 0.0,
         batch_size: int = 8,
+        max_concurrent_batches: int = 4,
     ):
         """`loop_stats_fn`: optional zero-arg callable returning the
         local sensor loop's stats dict (StreamingClassifier.stats()),
@@ -107,12 +126,24 @@ class RadarServingServer:
 
         self._batch_window_s = max(float(batch_window_ms), 0.0) / 1e3
         self._batch_size = max(int(batch_size), 1)
-        self._pending: "queue.Queue" = queue.Queue()
-        self._batcher: Optional[threading.Thread] = None
-        if self._batch_window_s > 0:
-            self._batcher = threading.Thread(
-                target=self._batch_loop, daemon=True, name="rpc-batcher"
-            )
+        # Power-of-two program shapes up to batch_size: a batch of n
+        # requests pads to the smallest bucket ≥ n so transfer bytes
+        # and FLOPs track actual load instead of the static maximum.
+        self.batch_buckets: Tuple[int, ...] = tuple(
+            [
+                1 << i
+                for i in range(self._batch_size.bit_length())
+                if (1 << i) < self._batch_size
+            ]
+            + [self._batch_size]
+        )
+        self._batch_enabled = self._batch_window_s > 0
+        self._bq: List["RadarServingServer._Pending"] = []
+        self._bq_lock = threading.Lock()
+        # Leader slots bound concurrent device programs from the
+        # batched path; excess demand queues and coalesces.
+        self._leaders = threading.Semaphore(max(int(max_concurrent_batches), 1))
+        self._stopping = False
 
     # -- dynamic batching ----------------------------------------------
 
@@ -127,83 +158,88 @@ class RadarServingServer:
             self.result = None
             self.error = None
 
-    def _batch_loop(self):
-        B, T = self._batch_size, self._max_targets
-        while True:
-            item = self._pending.get()
-            if item is None:
+    def _bucket(self, n: int) -> int:
+        """Smallest pre-declared program batch shape ≥ n."""
+        for b in self.batch_buckets:
+            if b >= n:
+                return b
+        return self._batch_size
+
+    def _run_batch(self, batch):
+        """Stack, encode, run and distribute one claimed batch (leader
+        body; runs inline on a handler thread)."""
+        T = self._max_targets
+        try:
+            Bp = self._bucket(len(batch))
+            # Pending cubes are CANONICAL (u8 for 8-bit wires, f32
+            # otherwise) so a predictor hot-swap mid-queue can't
+            # mix encodings; stack narrow when the batch is
+            # dtype-uniform, then encode once for the (possibly
+            # just-reloaded) predictor.
+            predictor = self._predictor
+            dtypes = {p.cube.dtype for p in batch}
+            stack_dt = batch[0].cube.dtype if len(dtypes) == 1 else (
+                np.float32
+            )
+            cubes = np.zeros((Bp,) + self._grid, stack_dt)
+            xyz = np.zeros((Bp, T, 3), np.float32)
+            valid = np.zeros((Bp, T), bool)
+            for i, p in enumerate(batch):
+                cubes[i] = p.cube
+                xyz[i] = p.xyz
+                valid[i] = p.valid
+            encode = getattr(predictor, "encode_host", None)
+            if encode is not None:
+                cubes = encode(cubes)
+            elif cubes.dtype != np.float32:
+                cubes = cubes.astype(np.float32)
+            t0 = time.perf_counter()
+            pred, best_p, proba = predictor(cubes, xyz, valid)
+            pred = np.asarray(pred)
+            best_p = np.asarray(best_p)
+            proba = np.asarray(proba)
+            ms = (time.perf_counter() - t0) * 1e3
+            with self._stats_lock:
+                self._batches_run += 1
+            for i, p in enumerate(batch):
+                p.result = (pred[i], best_p[i], proba[i], ms)
+                p.done.set()
+        except Exception as e:  # surface to every waiter
+            self._drain_batch(batch, e)
+
+    def _classify_batched(self, p: "_Pending"):
+        """Leader-follower election: enqueue, then either lead a batch
+        (claim the queue, run the device program inline) or ride a
+        leader's batch. Never hangs: a request that no leader claims is
+        eventually claimed by its own handler here."""
+        with self._bq_lock:
+            self._bq.append(p)
+        while not p.done.is_set():
+            if self._stopping:
+                # stop() fails everything queued; if our row is mid-
+                # flight on a leader, its done-set wins the race.
+                with self._bq_lock:
+                    mine = p in self._bq
+                    if mine:
+                        self._bq.remove(p)
+                if mine:
+                    self._drain_batch([p], RuntimeError("server stopped"))
                 return
-            batch = [item]
-            stopped = False
-            # Greedy drain: everything already pending joins the batch
-            # at zero added latency.
-            while len(batch) < B:
+            if self._leaders.acquire(blocking=False):
                 try:
-                    nxt = self._pending.get_nowait()
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    stopped = True
-                    break
-                batch.append(nxt)
-            # Adaptive window: hold the batch open for stragglers only
-            # when the greedy drain proved concurrency (≥2 pending). A
-            # lone request runs immediately — dynamic batching must
-            # never pessimize the unloaded case.
-            if not stopped and 2 <= len(batch) < B:
-                deadline = time.monotonic() + self._batch_window_s
-                while len(batch) < B:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        break
-                    try:
-                        nxt = self._pending.get(timeout=remaining)
-                    except queue.Empty:
-                        break
-                    if nxt is None:
-                        stopped = True
-                        break
-                    batch.append(nxt)
-            if stopped:
-                self._drain_batch(batch, RuntimeError("server stopped"))
-                return
-            try:
-                n = len(batch)
-                # Pending cubes are CANONICAL (u8 for 8-bit wires, f32
-                # otherwise) so a predictor hot-swap mid-queue can't
-                # mix encodings; stack narrow when the batch is
-                # dtype-uniform, then encode once for the (possibly
-                # just-reloaded) predictor.
-                predictor = self._predictor
-                dtypes = {p.cube.dtype for p in batch}
-                stack_dt = batch[0].cube.dtype if len(dtypes) == 1 else (
-                    np.float32
-                )
-                cubes = np.zeros((B,) + self._grid, stack_dt)
-                xyz = np.zeros((B, T, 3), np.float32)
-                valid = np.zeros((B, T), bool)
-                for i, p in enumerate(batch):
-                    cubes[i] = p.cube
-                    xyz[i] = p.xyz
-                    valid[i] = p.valid
-                encode = getattr(predictor, "encode_host", None)
-                if encode is not None:
-                    cubes = encode(cubes)
-                elif cubes.dtype != np.float32:
-                    cubes = cubes.astype(np.float32)
-                t0 = time.perf_counter()
-                pred, best_p, proba = predictor(cubes, xyz, valid)
-                pred = np.asarray(pred)
-                best_p = np.asarray(best_p)
-                proba = np.asarray(proba)
-                ms = (time.perf_counter() - t0) * 1e3
-                with self._stats_lock:
-                    self._batches_run += 1
-                for i, p in enumerate(batch[:n]):
-                    p.result = (pred[i], best_p[i], proba[i], ms)
-                    p.done.set()
-            except Exception as e:  # surface to every waiter
-                self._drain_batch(batch, e)
+                    while not p.done.is_set():
+                        with self._bq_lock:
+                            batch = self._bq[: self._batch_size]
+                            del self._bq[: len(batch)]
+                        if not batch:
+                            break
+                        self._run_batch(batch)
+                finally:
+                    self._leaders.release()
+            else:
+                # All leader slots busy: our row rides someone's
+                # batch, or we retry leadership on the next tick.
+                p.done.wait(timeout=0.02)
 
     @staticmethod
     def _drain_batch(batch, error):
@@ -276,7 +312,7 @@ class RadarServingServer:
         # and the host→device transfer never pay the old
         # decode-to-float32 round trip.
         encode = getattr(self._predictor, "encode_host", None)
-        if self._batcher is None:
+        if not self._batch_enabled:
             cube = (
                 encode(cube) if encode is not None
                 else np.ascontiguousarray(cube, np.float32)
@@ -284,17 +320,12 @@ class RadarServingServer:
 
         with self._stats_lock:
             self._classify_count += 1
-        if self._batcher is not None:
+        if self._batch_enabled:
             p = self._Pending(cube, xyz, valid)
-            self._pending.put(p)
-            # Bounded wait: if the batcher dies or stop() races this
-            # enqueue, abort the RPC instead of blocking the handler
-            # thread forever (stop() also drains stragglers).
-            while not p.done.wait(timeout=1.0):
-                if not self._batcher.is_alive():
-                    context.abort(
-                        grpc.StatusCode.UNAVAILABLE, "server shutting down"
-                    )
+            # Leader-follower: runs the device program inline on this
+            # thread or rides another handler's batch; always returns
+            # with done set (success, device error, or stop()).
+            self._classify_batched(p)
             if p.error is not None:
                 context.abort(grpc.StatusCode.INTERNAL, str(p.error))
             pred, best_p, proba, latency_ms = p.result
@@ -319,9 +350,9 @@ class RadarServingServer:
         here one call amortizes it across the whole stream: a reader
         thread drains the request iterator into a bounded queue (gRPC
         flow control backpressures the client when it fills) and the
-        handler packs whatever has arrived — up to the same static
-        `batch_size` program shape the dynamic batcher uses — into one
-        device pass per iteration.
+        handler packs whatever has arrived — up to `batch_size`
+        requests, padded to the same power-of-two bucket shapes the
+        dynamic batcher uses — into one device pass per iteration.
         """
         B = self._batch_size
         done = object()
@@ -380,12 +411,13 @@ class RadarServingServer:
                 batch.append(self._decode(nxt, context))
 
             n_real = len(batch)
+            Bp = self._bucket(n_real)
             predictor = self._predictor
             dtypes = {b[0].dtype for b in batch}
             stack_dt = batch[0][0].dtype if len(dtypes) == 1 else np.float32
-            cubes = np.zeros((B,) + self._grid, stack_dt)
-            xyz = np.zeros((B, self._max_targets, 3), np.float32)
-            valid = np.zeros((B, self._max_targets), bool)
+            cubes = np.zeros((Bp,) + self._grid, stack_dt)
+            xyz = np.zeros((Bp, self._max_targets, 3), np.float32)
+            valid = np.zeros((Bp, self._max_targets), bool)
             for i, (cube, x, v, _n) in enumerate(batch):
                 cubes[i] = cube
                 xyz[i] = x
@@ -541,25 +573,20 @@ class RadarServingServer:
     # -- lifecycle ----------------------------------------------------
 
     def start(self):
-        if self._batcher is not None and not self._batcher.is_alive():
-            self._batcher.start()
         self._server.start()
         logger.info("radar serving endpoint on port %d", self.port)
         return self
 
     def stop(self, grace: Optional[float] = 0.5):
-        if self._batcher is not None and self._batcher.is_alive():
-            self._pending.put(None)
-            self._batcher.join(timeout=5.0)
-            # Requests enqueued after the sentinel would otherwise wait
-            # forever; fail them so their handler threads return.
-            while True:
-                try:
-                    p = self._pending.get_nowait()
-                except queue.Empty:
-                    break
-                if p is not None:
-                    self._drain_batch([p], RuntimeError("server stopped"))
+        if self._batch_enabled:
+            # Fail everything still queued; handlers blocked in the
+            # election loop see _stopping and return, leaders finish
+            # their in-flight device batch and deliver it normally.
+            self._stopping = True
+            with self._bq_lock:
+                stragglers, self._bq = self._bq, []
+            if stragglers:
+                self._drain_batch(stragglers, RuntimeError("server stopped"))
         self._server.stop(grace)
 
     def __enter__(self):

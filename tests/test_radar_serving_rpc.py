@@ -269,7 +269,9 @@ def test_dynamic_batching_coalesces_and_matches(served):
     batched = RadarServingServer(
         predictor, classes=["cat", "dog", "person"],
         grid_shape=DEFAULT_ARENA.grid_shape,
-        batch_window_ms=80.0, batch_size=4,
+        # One leader slot forces the other concurrent requests to
+        # queue behind the first batch, so coalescing is deterministic.
+        batch_window_ms=80.0, batch_size=4, max_concurrent_batches=1,
     ).start()
     client = RadarServingClient(f"127.0.0.1:{batched.port}", timeout_s=30)
     try:
@@ -343,6 +345,68 @@ def test_adaptive_batching_lone_request_skips_window(served):
         )
         stats = client.get_stats()
         assert stats.classify_batches == 2  # one per lone request
+    finally:
+        client.close()
+        batched.stop()
+
+
+def test_batch_buckets_bound_program_shapes(served):
+    """The batcher pads to power-of-two bucket shapes ≤ batch_size
+    (transfer bytes and FLOPs track load, not the static maximum), and
+    a partial burst through a bucketed server matches the unbatched
+    answers."""
+    import threading
+
+    predictor, _server, plain_client = served
+    batched = RadarServingServer(
+        predictor, classes=["cat", "dog", "person"],
+        grid_shape=DEFAULT_ARENA.grid_shape,
+        batch_window_ms=50.0, batch_size=16,
+    )
+    assert batched.batch_buckets == (1, 2, 4, 8, 16)
+    assert batched._bucket(1) == 1
+    assert batched._bucket(3) == 4
+    assert batched._bucket(16) == 16
+    # Non-power-of-two batch_size keeps itself as the top bucket.
+    odd = RadarServingServer(
+        predictor, classes=["cat"], grid_shape=DEFAULT_ARENA.grid_shape,
+        batch_window_ms=1.0, batch_size=6,
+    )
+    assert odd.batch_buckets == (1, 2, 4, 6)
+    assert odd._bucket(5) == 6
+
+    batched.start()
+    client = RadarServingClient(f"127.0.0.1:{batched.port}", timeout_s=30)
+    try:
+        rng = np.random.default_rng(13)
+        cubes = [
+            np.rint(rng.random(DEFAULT_ARENA.grid_shape) * 255).astype(
+                np.float32
+            )
+            for _ in range(3)
+        ]
+        results = [None] * 3
+
+        def call(i):
+            results[i] = client.classify(
+                cubes[i], [(1.0 * i, 0.0, 100.0)], dtype="uint8"
+            )
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert all(r is not None for r in results)
+        for i in range(3):
+            want = plain_client.classify(
+                cubes[i], [(1.0 * i, 0.0, 100.0)], dtype="uint8"
+            )
+            np.testing.assert_allclose(
+                np.asarray(results[i][0].class_probas),
+                np.asarray(want[0].class_probas),
+                atol=1e-6,
+            )
     finally:
         client.close()
         batched.stop()
