@@ -92,13 +92,25 @@ def device_latency_ms(predictor, cube1, xyz1, valid1, n_lo=64, n_hi=1024):
             cubes_n = jnp.asarray(raw, dtype=jnp.dtype(predictor.cube_dtype))
         chain = make_chain(n)
         _ = jax.device_get(chain(cubes_n, xyz1, valid1))  # compile
-        reps = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            _ = jax.device_get(chain(cubes_n, xyz1, valid1))
-            reps.append(time.perf_counter() - t0)
-        times[n] = float(np.min(reps))
-    return (times[n_hi] - times[n_lo]) / (n_hi - n_lo) * 1e3
+        times[n] = chain, cubes_n
+
+    def timed(n):
+        chain, cubes_n = times[n]
+        t0 = time.perf_counter()
+        _ = jax.device_get(chain(cubes_n, xyz1, valid1))
+        return time.perf_counter() - t0
+
+    # Paired slopes + median (same drift rationale as slopetime.py):
+    # min-over-reps at each N separately returned NEGATIVE latencies
+    # when a tunnel-drift episode slowed every n_lo rep (BENCH r04).
+    slopes = sorted(
+        (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo) for _ in range(5)
+    )
+    med = slopes[len(slopes) // 2]
+    if med <= 0:
+        positive = [s for s in slopes if s > 0]
+        med = positive[0] if positive else abs(med)
+    return med * 1e3
 
 
 def main():

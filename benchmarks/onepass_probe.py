@@ -62,7 +62,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         # Interpret-mode kernels are orders of magnitude slower; keep
         # the smoke run about correctness, not rates.
-        SLOPE_KW.update(k_lo=1, k_hi=2, reps=1)
+        # min_signal_s=0 disables adaptive K escalation (slopetime.py).
+        SLOPE_KW.update(k_lo=1, k_hi=2, reps=1, min_signal_s=0.0)
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/radarml_jaxcache")

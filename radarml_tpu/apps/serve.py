@@ -94,10 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "coalescing of concurrent Classify calls "
                         "(bucketed padding, no hold window — the value "
                         "is only an on/off switch; 0 = off)")
-    p.add_argument("--grpc_max_inflight_batches", type=int, default=4,
+    p.add_argument("--grpc_max_inflight_batches", type=int, default=8,
                    help="dynamic batching: concurrent leader slots "
                         "(device programs in flight); excess demand "
-                        "queues and coalesces")
+                        "queues and coalesces. Throughput over a "
+                        "high-latency link tracks in-flight scans, so "
+                        "keep slots >= the per-program concurrency the "
+                        "unbatched path would enjoy")
     p.add_argument("--grpc_batch_size", type=int, default=8,
                    help="dynamic batching: max requests per device batch")
     p.add_argument("--grpc_publish", action="store_true",

@@ -40,6 +40,21 @@ from radarml_tpu.models.linear import (
 UNKNOWN = -1  # prediction index when below min_proba (the "Unknown" label)
 
 
+def _dev_cast(x, dtype):
+    """`jnp.asarray(x, dtype)` that is a true no-op when `x` is already
+    a device array of that dtype.
+
+    On the tunneled axon backend an explicit-dtype `jnp.asarray`
+    enqueues a device dispatch (~0.5 ms/call) even when the dtype
+    already matches — it HALVED the fused hot path until guarded
+    (benchmarks/tail_probe.py: kernel+tail 3.0M scans/s, shipped
+    __call__ 1.4M; the entire gap was this per-call conversion).
+    """
+    if isinstance(x, jax.Array) and x.dtype == dtype:
+        return x
+    return jnp.asarray(x, dtype)
+
+
 def encode_int8_cubes(cubes):
     """Encode raw 0..255 scan cubes as the int8 wire format (value-128).
 
@@ -55,9 +70,10 @@ def encode_int8_cubes(cubes):
         return jnp.asarray(
             (np.asarray(cubes, np.int16) - 128).astype(np.int8)
         )
-    cubes = jnp.asarray(cubes)
+    if not isinstance(cubes, jax.Array):
+        cubes = jnp.asarray(cubes)
     if cubes.dtype == jnp.int8:
-        return cubes
+        return cubes  # no asarray dispatch: see _dev_cast
     return (cubes.astype(jnp.int16) - 128).astype(jnp.int8)
 
 
@@ -809,10 +825,13 @@ class RadarPredictor:
         if self.mode == "fused":
             return self._call_fused(cubes, target_xyz, target_valid)
         if self.cube_dtype == "int8":
-            cubes = encode_int8_cubes(cubes)
+            if not (
+                isinstance(cubes, jax.Array) and cubes.dtype == jnp.int8
+            ):
+                cubes = encode_int8_cubes(cubes)
         else:
-            cubes = jnp.asarray(cubes, dtype=jnp.dtype(self.cube_dtype))
-        target_xyz = jnp.asarray(target_xyz, dtype=jnp.float32)
+            cubes = _dev_cast(cubes, jnp.dtype(self.cube_dtype))
+        target_xyz = _dev_cast(target_xyz, jnp.float32)
         if target_valid is None:
             target_valid = jnp.ones(target_xyz.shape[:2], dtype=bool)
         if self.mesh is not None:
@@ -841,14 +860,16 @@ class RadarPredictor:
                 encode_int8_cubes(cubes), y_group=self._pack_y_group
             )
         else:
-            cube_k = jnp.asarray(cubes)
+            cube_k = cubes if (
+                isinstance(cubes, jax.Array) and cubes.dtype == jnp.int8
+            ) else jnp.asarray(cubes)
             if cube_k.dtype != jnp.int8 or cube_k.shape[1] % Z:
                 raise ValueError(
                     "fused mode takes (B, X, Y, Z) cubes or the "
                     "pack_host (X*Yp, Z*Bp) int8 layout"
                 )
         Bp = cube_k.shape[1] // Z
-        target_xyz = jnp.asarray(target_xyz, dtype=jnp.float32)
+        target_xyz = _dev_cast(target_xyz, jnp.float32)
         B, T = target_xyz.shape[:2]
         if target_valid is None:
             target_valid = jnp.ones((B, T), dtype=bool)
@@ -890,7 +911,7 @@ class RadarPredictor:
                 f"divisible by the mesh size ({n})"
             )
         cubes = encode_int8_cubes(cubes)
-        target_xyz = jnp.asarray(target_xyz, dtype=jnp.float32)
+        target_xyz = _dev_cast(target_xyz, jnp.float32)
         T = target_xyz.shape[1]
         if target_valid is None:
             target_valid = jnp.ones((B, T), dtype=bool)

@@ -95,7 +95,7 @@ class RadarServingServer:
         host: str = "127.0.0.1",
         batch_window_ms: float = 0.0,
         batch_size: int = 8,
-        max_concurrent_batches: int = 4,
+        max_concurrent_batches: int = 8,
     ):
         """`loop_stats_fn`: optional zero-arg callable returning the
         local sensor loop's stats dict (StreamingClassifier.stats()),

@@ -162,16 +162,23 @@ class ServingArtifact:
                 f"of {self.batch} scans, got {b} — score in chunks of "
                 f"{self.batch} (the serve CLI's --max_batch does this)"
             )
+        from radarml_tpu.models.pipeline import _dev_cast
+
         if self.cube_dtype == "int8":
             # The baked program expects the value-128 wire encoding;
             # a straight cast of canonical 0..255 would overflow int8.
-            from radarml_tpu.models.pipeline import encode_int8_cubes
+            import jax
 
-            cubes = encode_int8_cubes(cubes)
+            if not (
+                isinstance(cubes, jax.Array) and cubes.dtype == jnp.int8
+            ):
+                from radarml_tpu.models.pipeline import encode_int8_cubes
+
+                cubes = encode_int8_cubes(cubes)
         else:
-            cubes = jnp.asarray(cubes, dtype=jnp.dtype(self.cube_dtype))
-        xyz = jnp.asarray(xyz, jnp.float32)
-        valid = jnp.asarray(valid, bool)
+            cubes = _dev_cast(cubes, jnp.dtype(self.cube_dtype))
+        xyz = _dev_cast(xyz, jnp.float32)
+        valid = _dev_cast(valid, jnp.bool_)
         if self.batch is not None and b < self.batch:
             # Smaller batches (the unary gRPC path runs (1, T)) pad up
             # to the baked shape; pad slots carry valid=False targets
