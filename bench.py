@@ -202,6 +202,10 @@ def main():
         # and gracefully skips any that a Mosaic version rejects.
         "fused": RadarPredictor(mode="fused", **kw),
         "fused_g": RadarPredictor(mode="fused", fused_tail="glookup", **kw),
+        # combo: glookup's grid with the three per-step dots stacked
+        # into ONE — half the MXU tile passes on an MXU-bound kernel
+        # (ops/pallas_i8_score.CombinedWeights).
+        "fused_c": RadarPredictor(mode="fused", fused_tail="combo", **kw),
         "fused_sel": RadarPredictor(mode="fused", fused_tail="sel", **kw),
         "fused_sel3": RadarPredictor(mode="fused", fused_tail="sel3", **kw),
         "pallas": RadarPredictor(mode="pallas", cube_dtype="bfloat16", **kw),
@@ -214,7 +218,8 @@ def main():
     from radarml_tpu.utils.mosaic_gate import gate_fused_variants
 
     fused_tail_of = {"fused": "lookup", "fused_g": "glookup",
-                     "fused_sel": "sel", "fused_sel3": "sel3"}
+                     "fused_c": "combo", "fused_sel": "sel",
+                     "fused_sel3": "sel3"}
     ok_tails = gate_fused_variants(
         tails=list(dict.fromkeys(fused_tail_of.values())) + ["tables"],
         batch=BATCH,  # probe the exact program the bench will compile
@@ -282,7 +287,8 @@ def main():
     # (the compiles above are the expensive part), and the short
     # sleep spreads them across ~1 min of device state so the median
     # samples more than one drift episode.
-    contested = {"fast_i8", "fused", "fused_g", "fused_sel", "fused_sel3"}
+    contested = {"fast_i8", "fused", "fused_g", "fused_c", "fused_sel",
+                 "fused_sel3"}
     runs = {name: [] for name in timers}
     for rnd in range(7):
         if rnd > 0:
@@ -348,12 +354,15 @@ def main():
     # itself instead of a separate probe.
     r_tables = None
     r_gtables = None
+    r_ctables = None
     if "tables" in ok_tails and "fused" in predictors:
         try:
             from radarml_tpu.core.arena import DEFAULT_ARENA as _A
             from radarml_tpu.ops.pallas_i8_score import (
+                build_combined_weights,
                 build_grouped_weights,
                 build_onepass_weights,
+                onepass_tables_combined_i8,
                 onepass_tables_grouped_i8,
                 onepass_tables_i8,
             )
@@ -369,29 +378,40 @@ def main():
             )
             cube_k = put_cubes(cubes_np, packer)
             _ = jax.device_get(tab(cube_k)[0][:1])
-            # Grouped kernel: the default glookup tail's own upper
-            # bound (~29% fewer MACs than the ungrouped dots).
+            # Grouped kernel: the glookup tail's own upper bound
+            # (~29% fewer MACs than the ungrouped dots).
             wg = build_grouped_weights(quant, dims, y_group=yg)
             gtab = jax.jit(
                 lambda ck: onepass_tables_grouped_i8(ck, wg, interpret=interp)
             )
             _ = jax.device_get(gtab(cube_k)[0][:1])
-            tab_runs, gtab_runs = [], []
+            kernels = {"tables_only": tab, "gtables_only": gtab}
+            if "combo" in ok_tails:
+                # Combined kernel: one stacked dot per step — half the
+                # grouped kernel's MXU tile passes (the combo tail's
+                # upper bound).
+                wcw = build_combined_weights(quant, dims, y_group=yg)
+                ctab = jax.jit(
+                    lambda ck: onepass_tables_combined_i8(
+                        ck, wcw, interpret=interp
+                    )
+                )
+                _ = jax.device_get(ctab(cube_k)[0][:1])
+                kernels["ctables_only"] = ctab
+            kruns = {k: [] for k in kernels}
             for rnd in range(5):  # interleaved, same rationale as above
                 if rnd > 0:
                     time.sleep(3)
-                tab_runs.append(BATCH / slope_time(
-                    lambda: tab(cube_k),
-                    lambda o: jax.device_get(o[0][:1, :1]),
-                ))
-                gtab_runs.append(BATCH / slope_time(
-                    lambda: gtab(cube_k),
-                    lambda o: jax.device_get(o[0][:1, :1]),
-                ))
-            r_tables = float(np.median(tab_runs))
-            r_gtables = float(np.median(gtab_runs))
-            runs["tables_only"] = tab_runs
-            runs["gtables_only"] = gtab_runs
+                for k, fn in kernels.items():
+                    kruns[k].append(BATCH / slope_time(
+                        lambda fn=fn: fn(cube_k),
+                        lambda o: jax.device_get(o[0][:1, :1]),
+                    ))
+            r_tables = float(np.median(kruns["tables_only"]))
+            r_gtables = float(np.median(kruns["gtables_only"]))
+            if "ctables_only" in kruns:
+                r_ctables = float(np.median(kruns["ctables_only"]))
+            runs.update(kruns)
         except Exception as e:
             print(f"# tables-only rate failed: {type(e).__name__}",
                   file=sys.stderr)
@@ -451,6 +471,11 @@ def main():
                 **(
                     {"scans_per_sec_fused_gtables_only": round(r_gtables, 1)}
                     if r_gtables is not None
+                    else {}
+                ),
+                **(
+                    {"scans_per_sec_fused_ctables_only": round(r_ctables, 1)}
+                    if r_ctables is not None
                     else {}
                 ),
                 "batch": BATCH,

@@ -107,13 +107,14 @@ def main():
     from radarml_tpu.utils.mosaic_gate import gate_fused_variants
 
     ok = set(gate_fused_variants(
-        tails=("lookup", "glookup", "sel", "sel3", "tables"),
+        tails=("lookup", "glookup", "combo", "sel", "sel3", "tables"),
         batch=BATCH,  # probe the exact program the probe will compile
         log=lambda m: print(f"# {m}", file=sys.stderr),
     ))
     gate_errors = {
         f"fused_{t}" if t != "lookup" else "fused": "mosaic gate rejected"
-        for t in ("lookup", "glookup", "sel", "sel3") if t not in ok
+        for t in ("lookup", "glookup", "combo", "sel", "sel3")
+        if t not in ok
     }
 
     predictors = {
@@ -124,6 +125,9 @@ def main():
     if "glookup" in ok:
         predictors["fused_glookup"] = RadarPredictor(
             mode="fused", fused_tail="glookup", **kw)
+    if "combo" in ok:
+        predictors["fused_combo"] = RadarPredictor(
+            mode="fused", fused_tail="combo", **kw)
     if "sel" in ok:
         predictors["fused_sel"] = RadarPredictor(
             mode="fused", fused_tail="sel", **kw)
@@ -236,6 +240,33 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         errors["fused_gtables_only"] = f"{type(e).__name__}: {str(e)[:200]}"
+    try:
+        # The combined kernel's tail-free upper bound (combo = this +
+        # the XLA lookup tail): one stacked dot per step — half the
+        # grouped kernel's MXU tile passes (ops CombinedWeights).
+        if "combo" not in ok:
+            raise RuntimeError("mosaic gate rejected")
+        from radarml_tpu.ops.pallas_i8_score import (
+            build_combined_weights, onepass_tables_combined_i8,
+        )
+
+        quant_c = packer._quantized_split_templates()
+        a = DEFAULT_ARENA
+        wc = build_combined_weights(
+            quant_c, (a.size_x, a.size_y, a.size_z),
+            y_group=packer._pack_y_group,
+        )
+        interp = jax.devices()[0].platform != "tpu"
+        ctab = jax.jit(
+            lambda ck: onepass_tables_combined_i8(ck, wc, interpret=interp)
+        )
+        _ = jax.device_get(ctab(packed_once)[0][:1])  # warm
+        timers["fused_ctables_only"] = lambda: BATCH / slope(
+            lambda: ctab(packed_once),
+            lambda o: jax.device_get(o[0][:1, :1]),
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["fused_ctables_only"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # Interleaved rounds: every variant is measured in every round, so
     # a device-state episode hits all variants alike instead of
@@ -252,12 +283,14 @@ def main():
     }
     r_tab = rates.pop("fused_tables_only", float("nan"))
     r_gtab = rates.pop("fused_gtables_only", float("nan"))
+    r_ctab = rates.pop("fused_ctables_only", float("nan"))
 
     best = max(rates, key=rates.get) if rates else None
     print(json.dumps({
         **{f"scans_per_sec_{k}": round(v, 1) for k, v in rates.items()},
         "scans_per_sec_fused_tables_only": round(r_tab, 1),
         "scans_per_sec_fused_gtables_only": round(r_gtab, 1),
+        "scans_per_sec_fused_ctables_only": round(r_ctab, 1),
         "rounds": {k: [round(x, 1) for x in v] for k, v in runs.items()},
         "best": best,
         "best_over_fast": round(rates[best] / rates["fast_i8"], 3)

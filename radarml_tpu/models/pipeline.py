@@ -145,19 +145,24 @@ class RadarPredictor:
     #   "glookup" — same XLA tail, but the kernel runs y-grouped dots
     #               (~29% fewer MACs; the kernel is MXU-bound at bulk
     #               batches — ops/pallas_i8_score._kernel_grouped_tables).
+    #   "combo"   — glookup's grid with the three per-step dots stacked
+    #               into ONE (the M-tile passes halve: the C2-row xy
+    #               dot wasted 95% of a 128-row MXU pass —
+    #               ops/pallas_i8_score.CombinedWeights).
     #   "sel"     — the z-table (the largest, (Z, C2, B)) never leaves
     #               the kernel: per-target z rows are selected against
     #               program_id each grid step.
     #   "sel3"    — ALL three lookups fold in-kernel (m1/m2 accumulate
     #               in VMEM scratch, one-hot row selection at the last
     #               z-step); the XLA tail is dequant+calibrate only.
-    # All four are decision-identical; the default follows the
-    # fastest measured variant on a v5e — "glookup" won the
-    # interleaved 5-round median probe (3.14M scans/s vs 2.64M
-    # lookup / 2.73M sel3 / 2.28M sel; single-shot orderings swing
-    # 2-6x with tunnel device-state drift, so only interleaved
-    # medians are trusted — benchmarks/onepass_probe.py --rounds).
-    fused_tail: str = "glookup"
+    # All five are decision-identical; the default follows the
+    # fastest measured variant on a v5e — "combo" won the
+    # interleaved 7-round bench medians OUTSIDE every rival's range
+    # (3.35M scans/s, per-round min 3.28M, vs glookup max 3.14M /
+    # lookup 3.12M / sel3 3.13M / sel 2.88M — BENCH r04 rounds;
+    # lookup/glookup/sel3 are a statistical tie among themselves, so
+    # only combo's halved M-tile count separates from drift noise).
+    fused_tail: str = "combo"
     mesh: object = None  # optional jax Mesh: shard scans over 'data'
     # Device dtype of the scan-cube stream. Radar cubes are 8-bit
     # sensor data (reference predict.py:90-91 GetRawImage yields
@@ -185,10 +190,12 @@ class RadarPredictor:
         if self.mode == "fused":
             if not is_linear:
                 raise ValueError("fused mode folds linear models only")
-            if self.fused_tail not in ("lookup", "glookup", "sel", "sel3"):
+            if self.fused_tail not in (
+                "lookup", "glookup", "combo", "sel", "sel3"
+            ):
                 raise ValueError(
-                    "fused_tail must be 'lookup', 'glookup', 'sel' "
-                    "or 'sel3'"
+                    "fused_tail must be 'lookup', 'glookup', 'combo', "
+                    "'sel' or 'sel3'"
                 )
             # The kernel's wire format IS int8 (value-128, packed
             # scan-minor); every requested stream dtype resolves to it
@@ -485,9 +492,11 @@ class RadarPredictor:
         same clamped indices).
         """
         from radarml_tpu.ops.pallas_i8_score import (
+            build_combined_weights,
             build_grouped_weights,
             build_onepass_weights,
             onepass_scores_i8,
+            onepass_tables_combined_i8,
             onepass_tables_i8,
             onepass_tables_grouped_i8,
             onepass_tables_sel_i8,
@@ -497,7 +506,13 @@ class RadarPredictor:
         scan = self.scan_arena
         quant = self._quantized_split_templates()
         dims = (scan.size_x, scan.size_y, scan.size_z)
-        if tail in ("sel3", "glookup"):
+        if tail == "combo":
+            # y-grouped grid + ONE stacked dot per step (half the MXU
+            # tile passes of glookup; ops CombinedWeights docstring).
+            weights = build_combined_weights(
+                quant, dims, y_group=self._pack_y_group
+            )
+        elif tail in ("sel3", "glookup"):
             # y-grouped GRID: ~30% fewer MACs (the kernel is MXU-bound
             # at bulk batches; ops module docstring). All tails share
             # the grouped WIRE layout (self._pack_y_group), so one
@@ -600,7 +615,11 @@ class RadarPredictor:
                     if scales[2] is not None:
                         dec = dec + combine(selected(d3, T), scales[2])
                 else:
-                    if tail == "glookup":
+                    if tail == "combo":
+                        m1, m2, m3 = onepass_tables_combined_i8(
+                            cube_k, weights, interpret=interpret
+                        )
+                    elif tail == "glookup":
                         m1, m2, m3 = onepass_tables_grouped_i8(
                             cube_k, weights, interpret=interpret
                         )

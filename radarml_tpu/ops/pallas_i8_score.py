@@ -89,6 +89,9 @@ __all__ = [
     "onepass_tables_i8",
     "onepass_tables_sel_i8",
     "onepass_tables_grouped_i8",
+    "CombinedWeights",
+    "build_combined_weights",
+    "onepass_tables_combined_i8",
     "GroupedWeights",
     "best_y_group",
     "build_grouped_weights",
@@ -474,13 +477,13 @@ def best_y_group(X: int, Y: int) -> int:
     return Yp
 
 
-def build_grouped_weights(
+def _grouped_weight_arrays(
     quant: Sequence[Optional[tuple]],
     dims: Tuple[int, int, int],
     y_group: Optional[int] = None,
-) -> GroupedWeights:
-    """Grouped-layout int8 weights (see GroupedWeights) from the
-    quantized templates of build_onepass_weights."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Host-side grouped weight arrays shared by the grouped and
+    combined builders: (w1, w2, w3, C2, Yg) numpy int8."""
     X, Y, Z = dims
     Yp = _round_up(Y, _SUBLANE)
     Yg = y_group or best_y_group(X, Y)
@@ -516,6 +519,18 @@ def build_grouped_weights(
             ys = min(Y - g * Yg, Yg)
             if ys > 0:
                 w3v[g, :, :, :ys] = q[:, :, g * Yg:g * Yg + ys]
+    return w1, w2, w3, C2, Yg
+
+
+def build_grouped_weights(
+    quant: Sequence[Optional[tuple]],
+    dims: Tuple[int, int, int],
+    y_group: Optional[int] = None,
+) -> GroupedWeights:
+    """Grouped-layout int8 weights (see GroupedWeights) from the
+    quantized templates of build_onepass_weights."""
+    X, Y, Z = dims
+    w1, w2, w3, C2, Yg = _grouped_weight_arrays(quant, dims, y_group)
     return GroupedWeights(
         w1=jnp.asarray(w1), w2=jnp.asarray(w2), w3=jnp.asarray(w3),
         dims=(X, Y, Z, C2 // 2), y_group=Yg,
@@ -674,6 +689,202 @@ def _onepass_tables_grouped_i8(
         interpret=interpret,
     )(cube_k, w1, w2, w3)
     return m1g, m2, m3
+
+
+_ACC = 8  # int32 sublane tile — row-segment boundaries must align
+
+
+class CombinedWeights(NamedTuple):
+    """Operands for the single-dot grouped kernel.
+
+    The grouped kernel's three per-step dots have M = C2·Yg, C2·X and
+    C2 rows (96 / 132 / 6 at the default arena, Yg=16). The MXU tiles
+    M in 128-row passes, so those dots cost 1+2+1 = 4 M-tile passes
+    per step while carrying 234 useful rows — the C2-row xy dot wastes
+    95% of its pass, and the yz dot's second pass carries 4 rows.
+    Stacking all three weight blocks into ONE (M, X·Yg) operand makes
+    every step a single dot with M = 240 → 2 M-tile passes: exactly
+    half the MXU tile work of the grouped kernel, on a kernel that is
+    MXU-bound at bulk batches (README "the fused-tail experiment").
+    Row segments pad to the int32 sublane tile (8) so the kernel can
+    split the product with aligned static slices; the xy block
+    replicates per z (z-constant, +~1 MB weight traffic — noise next
+    to the 254 MB cube read).
+    """
+
+    wc: jax.Array  # (Z, NG, r1+r2+r3, X·Yg) int8 — stacked xz|yz|xy
+    dims: Tuple[int, int, int, int]  # (X, Y, Z, C)
+    y_group: int
+
+    @property
+    def row_segments(self) -> Tuple[int, int, int]:
+        """(r1, r2, r3) padded row counts of the stacked blocks."""
+        X, Y, Z, C = self.dims
+        C2 = 2 * C
+        return (
+            _round_up(C2 * self.y_group, _ACC),
+            _round_up(C2 * X, _ACC),
+            _round_up(C2, _ACC),
+        )
+
+
+def build_combined_weights(
+    quant: Sequence[Optional[tuple]],
+    dims: Tuple[int, int, int],
+    y_group: Optional[int] = None,
+) -> CombinedWeights:
+    """Stacked single-dot weights (see CombinedWeights) from the
+    quantized templates of build_onepass_weights."""
+    X, Y, Z = dims
+    w1, w2, w3, C2, Yg = _grouped_weight_arrays(quant, dims, y_group)
+    Yp = _round_up(Y, _SUBLANE)
+    NG = Yp // Yg
+    r1 = _round_up(C2 * Yg, _ACC)
+    r2 = _round_up(C2 * X, _ACC)
+    r3 = _round_up(C2, _ACC)
+    wc = np.zeros((Z, NG, r1 + r2 + r3, X * Yg), np.int8)
+    wc[:, :, : C2 * Yg] = w1
+    wc[:, :, r1 : r1 + C2 * X] = w2
+    wc[:, :, r1 + r2 : r1 + r2 + C2] = np.broadcast_to(
+        w3[None], (Z, NG, C2, X * Yg)
+    )
+    return CombinedWeights(
+        wc=jnp.asarray(wc), dims=(X, Y, Z, C2 // 2), y_group=Yg
+    )
+
+
+def _kernel_combined(r1, r2, cube_ref, wc_ref, o1_ref, o2_ref, o3_ref):
+    """Single-dot variant of _kernel_grouped_tables (CombinedWeights).
+
+    One (M, X·Yg) @ (X·Yg, B) s8×s8→s32 dot per (z, g) step; the
+    product splits into the three table segments with static
+    sublane-aligned row slices, each accumulating under its own
+    schedule: m1 per y-group over z, m2 over the whole grid, m3 per
+    z-row over the minor g steps — identical outputs to the grouped
+    kernel at half the MXU tile passes.
+    """
+    z = pl.program_id(0)
+    g = pl.program_id(1)
+    blk = cube_ref[...]  # (X·Yg, B) int8 — this (z, group), all scans
+    p = jax.lax.dot_general(
+        wc_ref[0, 0], blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    p1 = p[:r1]
+    p2 = p[r1:r1 + r2]
+    p3 = p[r1 + r2:]
+
+    @pl.when(z == 0)
+    def _init1():
+        o1_ref[g] = p1
+
+    @pl.when(z != 0)
+    def _acc1():
+        o1_ref[g] += p1
+
+    first = jnp.logical_and(z == 0, g == 0)
+
+    @pl.when(first)
+    def _init2():
+        o2_ref[...] = p2
+
+    @pl.when(jnp.logical_not(first))
+    def _acc2():
+        o2_ref[...] += p2
+
+    @pl.when(g == 0)
+    def _init3():
+        o3_ref[0] = p3
+
+    @pl.when(g != 0)
+    def _acc3():
+        o3_ref[0] += p3
+
+
+def onepass_tables_combined_i8(
+    cube_k: jax.Array,
+    weights: CombinedWeights,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One-pass raw tables via ONE stacked dot per step.
+
+    Same contract as onepass_tables_i8 — returns (m1 (C2, Yp, B),
+    m2 (C2, X, B), m3 (Z, C2, B)) int32, identical values — but takes
+    CombinedWeights and runs one 2-M-tile dot per (z, g) step instead
+    of three dots totalling 4 M-tile passes (see CombinedWeights).
+    """
+    if not isinstance(weights, CombinedWeights):
+        raise TypeError("onepass_tables_combined_i8 takes "
+                        "CombinedWeights (build_combined_weights)")
+    X, Y, Z, C = weights.dims
+    C2 = 2 * C
+    Yp = _round_up(Y, _SUBLANE)
+    Yg = weights.y_group
+    NG = Yp // Yg
+    r1, r2, r3 = weights.row_segments
+    o1, o2, o3 = _onepass_tables_combined_i8(
+        cube_k, weights.wc, dims=weights.dims, y_group=Yg,
+        rows=(r1, r2, r3), interpret=interpret,
+    )
+    B = o1.shape[-1]
+    m1 = (
+        o1[:, : C2 * Yg]
+        .reshape(NG, C2, Yg, B)
+        .transpose(1, 0, 2, 3)
+        .reshape(C2, Yp, B)
+    )
+    return m1, o2[: C2 * X].reshape(C2, X, B), o3[:, :C2]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dims", "y_group", "rows", "interpret")
+)
+def _onepass_tables_combined_i8(
+    cube_k: jax.Array,
+    wc: jax.Array,
+    dims: Tuple[int, int, int, int],
+    y_group: int,
+    rows: Tuple[int, int, int],
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    X, Y, Z, C = dims
+    Yp = _round_up(Y, _SUBLANE)
+    Yg = y_group
+    NG = Yp // Yg
+    r1, r2, r3 = rows
+    XYp, ZB = cube_k.shape
+    if XYp != X * Yp or ZB % Z:
+        raise ValueError(f"packed cube shape {cube_k.shape} does not "
+                         f"match arena dims {(X, Y, Z)}")
+    B = ZB // Z
+    M = r1 + r2 + r3
+    return pl.pallas_call(
+        functools.partial(_kernel_combined, r1, r2),
+        grid=(Z, NG),
+        in_specs=[
+            pl.BlockSpec(
+                (X * Yg, B), lambda z, g: (g, z), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, M, X * Yg), lambda z, g: (z, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((NG, r1, B), lambda z, g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r2, B), lambda z, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r3, B), lambda z, g: (z, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NG, r1, B), jnp.int32),
+            jax.ShapeDtypeStruct((r2, B), jnp.int32),
+            jax.ShapeDtypeStruct((Z, r3, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cube_k, wc)
 
 
 def _kernel_scores(

@@ -198,6 +198,60 @@ def test_onepass_tables_grouped_match_int64_oracle(rng, dims, want_groups):
     )
 
 
+@pytest.mark.parametrize(
+    "dims,want_groups",
+    [((5, 7, 9), 1),     # X*16 unaligned → one full-Yp group
+     ((4, 35, 9), 4)],   # Yp=64, Yg=16 → 4 groups
+)
+def test_onepass_tables_combined_match_int64_oracle(rng, dims, want_groups):
+    """The single-stacked-dot kernel returns exactly the plain kernel's
+    (m1, m2, m3) contract — same values, same ungrouped row order —
+    including the padded row segments staying zero."""
+    from radarml_tpu.ops.pallas_i8_score import (
+        build_combined_weights, onepass_tables_combined_i8,
+    )
+
+    X, Y, Z = dims
+    C, B = 2, 3
+    C2 = 2 * C
+    q_xz = rng.integers(-127, 128, (C2, X, Z)).astype(np.int8)
+    q_yz = rng.integers(-127, 128, (C2, Y, Z)).astype(np.int8)
+    q_xy = rng.integers(-127, 128, (C2, X, Y)).astype(np.int8)
+    quant = [(q, None, None, None) for q in (q_xz, q_yz, q_xy)]
+    w = build_combined_weights(quant, (X, Y, Z))
+    assert w.wc.shape[1] == want_groups
+    r1, r2, r3 = w.row_segments
+    assert w.wc.shape[2] == r1 + r2 + r3
+    assert all(r % 8 == 0 for r in (r1, r2, r3))
+    cubes = rng.integers(0, 256, (B, X, Y, Z)).astype(np.uint8)
+    ck = pack_cubes_i8(cubes, y_group=w.y_group)
+    m1, m2, m3 = onepass_tables_combined_i8(ck, w, interpret=True)
+
+    v = cubes.astype(np.int64) - 128
+    o1 = np.einsum("cxz,bxyz->cyb", q_xz.astype(np.int64), v)
+    o2 = np.einsum("cyz,bxyz->cxb", q_yz.astype(np.int64), v)
+    o3 = np.einsum("cxy,bxyz->zcb", q_xy.astype(np.int64), v)
+    np.testing.assert_array_equal(
+        np.asarray(m1)[:, :Y, :B].astype(np.int64), o1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m2)[..., :B].astype(np.int64), o2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m3)[..., :B].astype(np.int64), o3
+    )
+
+    # masked planes contribute zero weights -> zero tables
+    wm = build_combined_weights(
+        [None, (q_yz, None, None, None), None], (X, Y, Z)
+    )
+    a1, a2, a3 = onepass_tables_combined_i8(ck, wm, interpret=True)
+    assert not np.asarray(a1).any() and not np.asarray(a3).any()
+    np.testing.assert_array_equal(
+        np.asarray(a2)[..., :B].astype(np.int64), o2
+    )
+
+
 def _linear_fixture(rng, n_classes=3):
     F = DEFAULT_ARENA.feature_length
     model = LinearModel(
@@ -223,7 +277,7 @@ def _scan_fixture(rng, B=4, T=3):
     return cubes, xyz, jnp.ones((B, T), dtype=bool)
 
 
-@pytest.mark.parametrize("tail", ["lookup", "glookup", "sel", "sel3"])
+@pytest.mark.parametrize("tail", ["lookup", "glookup", "combo", "sel", "sel3"])
 def test_fused_mode_matches_fast_int8(rng, tail):
     """fused == fast+int8 decisions/probas (same quantized templates,
     both exact integer table arithmetic), through both the packed and
@@ -250,7 +304,7 @@ def test_fused_mode_matches_fast_int8(rng, tail):
     assert proba_4.shape == proba_f.shape  # padding sliced back
 
 
-@pytest.mark.parametrize("tail", ["lookup", "glookup", "sel3"])
+@pytest.mark.parametrize("tail", ["lookup", "glookup", "combo", "sel3"])
 def test_fused_mode_masked_plane(rng, tail):
     from radarml_tpu.core.arena import ProjMask
 
@@ -281,7 +335,7 @@ def test_fused_mode_masked_plane(rng, tail):
     )
 
 
-@pytest.mark.parametrize("tail", ["glookup", "sel3"])
+@pytest.mark.parametrize("tail", ["glookup", "combo", "sel3"])
 def test_fused_mesh_matches_single_chip(rng, tail):
     """Mesh-sharded fused serving (shard_map per-shard pack+score)
     reproduces the single-device fused path exactly."""
@@ -310,7 +364,7 @@ def test_fused_wire_layout_is_tail_independent(rng):
     packed by one predictor can never silently mis-score on another."""
     kw = _linear_fixture(rng)
     cubes, xyz, valid = _scan_fixture(rng)
-    tails = ["lookup", "glookup", "sel", "sel3"]
+    tails = ["lookup", "glookup", "combo", "sel", "sel3"]
     preds = {t: RadarPredictor(mode="fused", fused_tail=t, **kw)
              for t in tails}
     packed = preds["sel3"].pack_host(cubes)  # pack ONCE
