@@ -359,6 +359,7 @@ def main():
         try:
             from radarml_tpu.core.arena import DEFAULT_ARENA as _A
             from radarml_tpu.ops.pallas_i8_score import (
+                auto_z_chunk,
                 build_combined_weights,
                 build_grouped_weights,
                 build_onepass_weights,
@@ -388,12 +389,13 @@ def main():
             kernels = {"tables_only": tab, "gtables_only": gtab}
             if "combo" in ok_tails:
                 # Combined kernel: one stacked dot per step — half the
-                # grouped kernel's MXU tile passes (the combo tail's
-                # upper bound).
+                # grouped kernel's MXU tile passes — at the shipped
+                # z_chunk (the combo tail's upper bound).
                 wcw = build_combined_weights(quant, dims, y_group=yg)
+                zc = auto_z_chunk(_A.size_z, BATCH)
                 ctab = jax.jit(
                     lambda ck: onepass_tables_combined_i8(
-                        ck, wcw, interpret=interp
+                        ck, wcw, interpret=interp, z_chunk=zc
                     )
                 )
                 _ = jax.device_get(ctab(cube_k)[0][:1])

@@ -492,6 +492,7 @@ class RadarPredictor:
         same clamped indices).
         """
         from radarml_tpu.ops.pallas_i8_score import (
+            auto_z_chunk,
             build_combined_weights,
             build_grouped_weights,
             build_onepass_weights,
@@ -616,8 +617,12 @@ class RadarPredictor:
                         dec = dec + combine(selected(d3, T), scales[2])
                 else:
                     if tail == "combo":
+                        # Batch is static at trace time, so the
+                        # measured step-bound z_chunk bakes into the
+                        # compiled program (auto_z_chunk docstring).
                         m1, m2, m3 = onepass_tables_combined_i8(
-                            cube_k, weights, interpret=interpret
+                            cube_k, weights, interpret=interpret,
+                            z_chunk=auto_z_chunk(scan.size_z, B),
                         )
                     elif tail == "glookup":
                         m1, m2, m3 = onepass_tables_grouped_i8(

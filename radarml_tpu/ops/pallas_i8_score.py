@@ -763,16 +763,47 @@ def _kernel_combined(r1, r2, cube_ref, wc_ref, o1_ref, o2_ref, o3_ref):
     z-row over the minor g steps — identical outputs to the grouped
     kernel at half the MXU tile passes.
     """
+    _kernel_combined_zc(r1, r2, 1, cube_ref, wc_ref,
+                        o1_ref, o2_ref, o3_ref)
+
+
+def _kernel_combined_zc(r1, r2, zc, cube_ref, wc_ref,
+                        o1_ref, o2_ref, o3_ref):
+    """_kernel_combined generalized to `zc` z-slices per grid step.
+
+    Same MACs and MXU tile passes as zc=1 — zc dots unrolled per step
+    over static lane slices of one (X·Yg, zc·B) cube block — but 1/zc
+    the grid steps and zc× the DMA granularity: the knob isolates
+    whether the residual kernel cost is per-step overhead (bigger zc
+    wins) or pure HBM/MXU (zc is neutral). Measured on the v5e the
+    kernel IS step-bound: zc=4 at batch 2048 lifts tables-only from
+    3.47M to 4.06M scans/s (+17%), zc=2 at batch 4096 to 4.18M (+20%);
+    zc=4 at batch 4096 fails the Mosaic gate (the (X·Yg, zc·B) cube
+    block outgrows VMEM double-buffering) — benchmarks/zc_probe.py.
+    auto_z_chunk picks the measured winner from (Z, B).
+    """
+    B = o2_ref.shape[-1]
     z = pl.program_id(0)
     g = pl.program_id(1)
-    blk = cube_ref[...]  # (X·Yg, B) int8 — this (z, group), all scans
-    p = jax.lax.dot_general(
-        wc_ref[0, 0], blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    p1 = p[:r1]
-    p2 = p[r1:r1 + r2]
-    p3 = p[r1 + r2:]
+    blk = cube_ref[...]  # (X·Yg, zc·B) int8 — zc z-slices, all scans
+    p1 = p2 = None
+    for i in range(zc):
+        p = jax.lax.dot_general(
+            wc_ref[i, 0], blk[:, i * B:(i + 1) * B],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        p1 = p[:r1] if p1 is None else p1 + p[:r1]
+        p2 = p[r1:r1 + r2] if p2 is None else p2 + p[r1:r1 + r2]
+        p3 = p[r1 + r2:]
+
+        @pl.when(g == 0)
+        def _init3(i=i, p3=p3):
+            o3_ref[i] = p3
+
+        @pl.when(g != 0)
+        def _acc3(i=i, p3=p3):
+            o3_ref[i] += p3
 
     @pl.when(z == 0)
     def _init1():
@@ -792,19 +823,30 @@ def _kernel_combined(r1, r2, cube_ref, wc_ref, o1_ref, o2_ref, o3_ref):
     def _acc2():
         o2_ref[...] += p2
 
-    @pl.when(g == 0)
-    def _init3():
-        o3_ref[0] = p3
 
-    @pl.when(g != 0)
-    def _acc3():
-        o3_ref[0] += p3
+def auto_z_chunk(Z: int, batch: int, lane_budget: int = 8192) -> int:
+    """Measured-default z_chunk for the combined kernel.
+
+    The kernel is step-bound on the v5e (benchmarks/zc_probe.py):
+    zc=4 at batch 2048 lifts tables-only 3.49M→4.00M scans/s (+15%),
+    zc=2 at batch 4096 3.89M→4.18M, zc=8 at batch 256 1.27M→1.65M
+    (+30%). Two measured ceilings bound the chunk: zc·batch = 16384
+    int8 lanes fails the Mosaic gate (the (X·Yg, zc·B) cube block
+    outgrows VMEM double-buffering; 8192 passes everywhere tried),
+    and zc=16 loses to zc=8 at batch 256 even though it fits — so
+    pick the largest chunk ≤ 8 that divides Z inside the lane budget.
+    """
+    for zc in (8, 4, 2):
+        if Z % zc == 0 and zc * batch <= lane_budget:
+            return zc
+    return 1
 
 
 def onepass_tables_combined_i8(
     cube_k: jax.Array,
     weights: CombinedWeights,
     interpret: bool = False,
+    z_chunk: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One-pass raw tables via ONE stacked dot per step.
 
@@ -812,6 +854,8 @@ def onepass_tables_combined_i8(
     m2 (C2, X, B), m3 (Z, C2, B)) int32, identical values — but takes
     CombinedWeights and runs one 2-M-tile dot per (z, g) step instead
     of three dots totalling 4 M-tile passes (see CombinedWeights).
+    z_chunk > 1 unrolls that many z-slices per grid step (must divide
+    Z; see _kernel_combined_zc for what the knob measures).
     """
     if not isinstance(weights, CombinedWeights):
         raise TypeError("onepass_tables_combined_i8 takes "
@@ -821,10 +865,12 @@ def onepass_tables_combined_i8(
     Yp = _round_up(Y, _SUBLANE)
     Yg = weights.y_group
     NG = Yp // Yg
+    if Z % z_chunk:
+        raise ValueError(f"z_chunk {z_chunk} does not divide Z={Z}")
     r1, r2, r3 = weights.row_segments
     o1, o2, o3 = _onepass_tables_combined_i8(
         cube_k, weights.wc, dims=weights.dims, y_group=Yg,
-        rows=(r1, r2, r3), interpret=interpret,
+        rows=(r1, r2, r3), interpret=interpret, z_chunk=z_chunk,
     )
     B = o1.shape[-1]
     m1 = (
@@ -837,7 +883,8 @@ def onepass_tables_combined_i8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "y_group", "rows", "interpret")
+    jax.jit,
+    static_argnames=("dims", "y_group", "rows", "interpret", "z_chunk"),
 )
 def _onepass_tables_combined_i8(
     cube_k: jax.Array,
@@ -846,6 +893,7 @@ def _onepass_tables_combined_i8(
     y_group: int,
     rows: Tuple[int, int, int],
     interpret: bool = False,
+    z_chunk: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     X, Y, Z, C = dims
     Yp = _round_up(Y, _SUBLANE)
@@ -858,15 +906,17 @@ def _onepass_tables_combined_i8(
                          f"match arena dims {(X, Y, Z)}")
     B = ZB // Z
     M = r1 + r2 + r3
+    zc = z_chunk
     return pl.pallas_call(
-        functools.partial(_kernel_combined, r1, r2),
-        grid=(Z, NG),
+        functools.partial(_kernel_combined_zc, r1, r2, zc),
+        grid=(Z // zc, NG),
         in_specs=[
             pl.BlockSpec(
-                (X * Yg, B), lambda z, g: (g, z), memory_space=pltpu.VMEM
+                (X * Yg, zc * B), lambda z, g: (g, z),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, M, X * Yg), lambda z, g: (z, g, 0, 0),
+                (zc, 1, M, X * Yg), lambda z, g: (z, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -875,7 +925,7 @@ def _onepass_tables_combined_i8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r2, B), lambda z, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r3, B), lambda z, g: (z, 0, 0),
+            pl.BlockSpec((zc, r3, B), lambda z, g: (z, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -251,6 +251,34 @@ def test_onepass_tables_combined_match_int64_oracle(rng, dims, want_groups):
         np.asarray(a2)[..., :B].astype(np.int64), o2
     )
 
+    # z_chunk unrolls z-slices per grid step without changing values
+    # (benchmarks/zc_probe.py measures what the knob isolates)
+    for zc in (3, Z):
+        c1, c2, c3 = onepass_tables_combined_i8(
+            ck, w, interpret=True, z_chunk=zc
+        )
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(c2), np.asarray(m2))
+        np.testing.assert_array_equal(np.asarray(c3), np.asarray(m3))
+    with pytest.raises(ValueError, match="z_chunk"):
+        onepass_tables_combined_i8(ck, w, interpret=True, z_chunk=4)
+
+
+def test_auto_z_chunk_measured_rule():
+    """auto_z_chunk encodes the zc_probe measurements: largest divisor
+    of Z ≤ 8 whose cube block stays inside the VMEM lane budget (zc·B
+    = 16384 failed the Mosaic gate on the v5e, 8192 passed; zc=16
+    measured slower than zc=8 at batch 256 despite fitting)."""
+    from radarml_tpu.ops.pallas_i8_score import auto_z_chunk
+
+    Z = DEFAULT_ARENA.size_z  # 176
+    assert auto_z_chunk(Z, 2048) == 4    # measured +15% vs zc=1
+    assert auto_z_chunk(Z, 4096) == 2    # measured 3.89M -> 4.18M
+    assert auto_z_chunk(Z, 8192) == 1    # zc=2 would hit 16384 lanes
+    assert auto_z_chunk(Z, 256) == 8     # measured +30% vs zc=1
+    assert auto_z_chunk(7, 2048) == 1    # nothing divides a prime Z
+    assert auto_z_chunk(176, 1024) == 8  # 8·1024 == the 8192 budget
+
 
 def _linear_fixture(rng, n_classes=3):
     F = DEFAULT_ARENA.feature_length
