@@ -192,46 +192,57 @@ def main():
         # quantized templates as s8xs8->s32 MXU dots — the fastest
         # 3-read stream (benchmarks/contraction_probe.py).
         "fast_i8": RadarPredictor(mode="fast", cube_dtype="int8", **kw),
-        # one-HBM-pass int8 Pallas kernel over pack_host-packed
-        # batches — reads each cube once instead of once per table;
-        # the fastest measured path (benchmarks/onepass_probe.py).
-        # The three tails are decision-identical and differ in where
-        # the table lookups run (XLA masked sums / z-selection
-        # in-kernel / everything in-kernel on a y-grouped grid) —
-        # benching all three lets the best variant win the headline
-        # and gracefully skips any that a Mosaic version rejects.
-        "fused": RadarPredictor(mode="fused", **kw),
-        "fused_g": RadarPredictor(mode="fused", fused_tail="glookup", **kw),
-        # combo: glookup's grid with the three per-step dots stacked
-        # into ONE — half the MXU tile passes on an MXU-bound kernel
-        # (ops/pallas_i8_score.CombinedWeights).
-        "fused_c": RadarPredictor(mode="fused", fused_tail="combo", **kw),
-        "fused_sel": RadarPredictor(mode="fused", fused_tail="sel", **kw),
-        "fused_sel3": RadarPredictor(mode="fused", fused_tail="sel3", **kw),
         "pallas": RadarPredictor(mode="pallas", cube_dtype="bfloat16", **kw),
     }
+
+    # One-HBM-pass int8 Pallas kernel over pack_host-packed batches —
+    # reads each cube once instead of once per table; the fastest
+    # measured family (benchmarks/onepass_probe.py). The five tails
+    # are decision-identical and differ in where the table lookups
+    # run (XLA masked sums / z-selection in-kernel / everything
+    # in-kernel / one stacked dot per step) — benching every tail
+    # EXPLICITLY (never the dataclass default, so a default flip can't
+    # silently turn two keys into the same program — the BENCH_r04
+    # defect) lets the best variant win the headline and gracefully
+    # skips any that a Mosaic version rejects.
+    fused_tail_of = {"fused": "lookup", "fused_g": "glookup",
+                     "fused_c": "combo", "fused_sel": "sel",
+                     "fused_sel3": "sel3"}
 
     # Mosaic can reject a Pallas program with a hard abort (SIGABRT) that
     # no try/except catches — probe each fused tail in a child process
     # first so a kernel rejection can't kill the bench before it prints
     # its one JSON line. Free on non-TPU backends (interpret mode).
-    from radarml_tpu.utils.mosaic_gate import gate_fused_variants
+    # The combo tail may come back as 'combo@<zc>' (the z-chunk
+    # fallback ladder); the validated chunk pins the predictor build.
+    from radarml_tpu.utils.mosaic_gate import (
+        gate_fused_variants,
+        resolve_tail,
+        split_tail_spec,
+    )
 
-    fused_tail_of = {"fused": "lookup", "fused_g": "glookup",
-                     "fused_c": "combo", "fused_sel": "sel",
-                     "fused_sel3": "sel3"}
-    ok_tails = gate_fused_variants(
+    ok_specs = gate_fused_variants(
         tails=list(dict.fromkeys(fused_tail_of.values())) + ["tables"],
         batch=BATCH,  # probe the exact program the bench will compile
         log=lambda m: print(f"# {m}", file=sys.stderr),
     )
+    ok_tails = {split_tail_spec(s)[0] for s in ok_specs}
+    fused_tails_timed = {}  # JSON record: mode → exact tail program
+    combo_zc = None
     for name, tail in fused_tail_of.items():
-        if tail not in ok_tails:
+        ok, zc = resolve_tail(ok_specs, tail)
+        if not ok:
             print(
                 f"# mode {name} skipped: Mosaic gate rejected tail '{tail}'",
                 file=sys.stderr,
             )
-            del predictors[name]
+            continue
+        predictors[name] = RadarPredictor(
+            mode="fused", fused_tail=tail, fused_z_chunk=zc, **kw
+        )
+        fused_tails_timed[name] = tail if zc is None else f"{tail}@{zc}"
+        if tail == "combo":
+            combo_zc = zc
 
     mark("mosaic gate done")
 
@@ -392,7 +403,7 @@ def main():
                 # grouped kernel's MXU tile passes — at the shipped
                 # z_chunk (the combo tail's upper bound).
                 wcw = build_combined_weights(quant, dims, y_group=yg)
-                zc = auto_z_chunk(_A.size_z, BATCH)
+                zc = combo_zc or auto_z_chunk(_A.size_z, BATCH)
                 ctab = jax.jit(
                     lambda ck: onepass_tables_combined_i8(
                         ck, wcw, interpret=interp, z_chunk=zc
@@ -483,6 +494,13 @@ def main():
                 "batch": BATCH,
                 "mode": best_mode,
                 "latency_mode": lat_mode,
+                # Exact fused-tail program behind each fused_* key
+                # (and the library default, for cross-round
+                # comparability of the keys vs the shipped default).
+                "fused_tails": fused_tails_timed,
+                "default_fused_tail": RadarPredictor.__dataclass_fields__[
+                    "fused_tail"
+                ].default,
                 **{f"scans_per_sec_{k}": round(v, 1) for k, v in rates.items()},
                 # raw per-round rates: the tunnel-drift spread behind
                 # each median, so the record carries its own error bars

@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference (RadarPredictor(mode='pallas')) "
                         "but is dominated by fast on every dtype, so "
                         "it is not a serving option")
+    p.add_argument("--no_mosaic_gate", dest="mosaic_gate",
+                   action="store_false",
+                   help="skip the startup child-process probe of the "
+                        "fused Pallas kernel (the probe keeps a Mosaic "
+                        "hard-abort from killing the CLI at its first "
+                        "batch; only relevant with --mode fused on TPU)")
     p.add_argument("--derived_targets", action="store_true",
                    help="derive targets from the raw cube on-device "
                         "instead of trusting the sensor's reports (the "
@@ -109,6 +115,42 @@ def main(argv=None) -> list:
             "Scan arena %s differs from training arena; zooming "
             "projections by train/scan per axis.", arena.grid_shape,
         )
+    # Mosaic can reject the fused kernel with a hard abort (SIGABRT)
+    # that no try/except catches; probe the exact program (scan arena
+    # + lane-padded batch) in a child process first and fall back to
+    # fast+int8 — identical decisions — exactly like apps/serve.py.
+    mode, cube_dtype, fused_zc = args.mode, args.cube_dtype, None
+    if args.mode == "fused" and args.mosaic_gate:
+        import jax
+
+        from radarml_tpu.utils.mosaic_gate import (
+            gate_fused_variants,
+            resolve_tail,
+        )
+
+        if jax.default_backend() == "tpu":
+            tail = RadarPredictor.__dataclass_fields__["fused_tail"].default
+            padded = -(-max(int(args.batch_scans), 1) // 128) * 128
+            ok, fused_zc = resolve_tail(
+                gate_fused_variants(
+                    (tail,), batch=padded, arena=args.scan_arena,
+                    log=logger.warning,
+                ),
+                tail,
+            )
+            if not ok:
+                logger.warning(
+                    "fused kernel (tail=%s) rejected by Mosaic on this "
+                    "backend; falling back to mode=fast cube_dtype=int8 "
+                    "(identical decisions, ~0.6x bulk throughput)", tail,
+                )
+                mode, cube_dtype = "fast", "int8"
+            elif fused_zc is not None:
+                logger.warning(
+                    "fused combo kernel gated at z_chunk=%d (fallback "
+                    "ladder; auto rule rejected on this backend)",
+                    fused_zc,
+                )
     predictor = RadarPredictor(
         train_arena=DEFAULT_ARENA,
         scan_arena=arena,
@@ -116,8 +158,9 @@ def main(argv=None) -> list:
         calibration=calib,
         proj_mask=parse_proj_mask(args.proj_mask),
         min_proba=args.min_proba,
-        mode=args.mode,
-        cube_dtype=args.cube_dtype,
+        mode=mode,
+        cube_dtype=cube_dtype,
+        fused_z_chunk=fused_zc,
     )
 
     from radarml_tpu.utils import RateMeter, StageTimer, device_trace

@@ -151,24 +151,41 @@ def main(argv=None) -> dict:
 
     def fused_mode_and_dtype():
         if args.mode != "fused" or not args.mosaic_gate:
-            return args.mode, args.cube_dtype
+            return args.mode, args.cube_dtype, None
         if "mode" not in gate_fallback:  # gate once, not per hot-reload
             import jax
 
-            from radarml_tpu.utils.mosaic_gate import gate_fused_variants
+            from radarml_tpu.utils.mosaic_gate import (
+                gate_fused_variants,
+                resolve_tail,
+            )
 
             tail = RadarPredictor.__dataclass_fields__["fused_tail"].default
-            if jax.default_backend() == "tpu" and tail not in (
-                gate_fused_variants(
-                    (tail,),
-                    # probe the exact program this service will run:
-                    # kernel geometry keys on the scan arena, the
-                    # Mosaic program on the (lane-padded) batch
-                    batch=max(args.max_batch, args.grpc_batch_size),
-                    arena=args.scan_arena,
-                    log=logger.warning,
+            # Probe the exact programs this service will compile: the
+            # kernel geometry keys on the scan arena, and the Mosaic
+            # program on the LANE-PADDED batch — warmup compiles every
+            # power-of-two bucket plus the loop's max_batch, and the
+            # combo kernel's program (auto_z_chunk) differs per padded
+            # batch, so gate each distinct padded shape rather than
+            # only the largest (an abort at an ungated bucket would
+            # SIGABRT the service at startup, bypassing the fallback).
+            bs = max(int(args.grpc_batch_size), 1)
+            served = {1, bs, int(args.max_batch)} | {
+                1 << i for i in range(bs.bit_length()) if (1 << i) < bs
+            }
+            padded = sorted({-(-b // 128) * 128 for b in served})
+            ok, zc = (True, None)
+            if jax.default_backend() == "tpu":
+                ok, zc = resolve_tail(
+                    gate_fused_variants(
+                        (tail,),
+                        batch=padded,
+                        arena=args.scan_arena,
+                        log=logger.warning,
+                    ),
+                    tail,
                 )
-            ):
+            if not ok:
                 logger.warning(
                     "fused kernel (tail=%s) rejected by Mosaic on this "
                     "backend; serving falls back to mode=fast "
@@ -176,9 +193,15 @@ def main(argv=None) -> dict:
                     "throughput)",
                     tail,
                 )
-                gate_fallback["mode"] = ("fast", "int8")
+                gate_fallback["mode"] = ("fast", "int8", None)
             else:
-                gate_fallback["mode"] = (args.mode, args.cube_dtype)
+                if zc is not None:
+                    logger.warning(
+                        "fused combo kernel gated at z_chunk=%d "
+                        "(fallback ladder; auto rule rejected on this "
+                        "backend)", zc,
+                    )
+                gate_fallback["mode"] = (args.mode, args.cube_dtype, zc)
         return gate_fallback["mode"]
 
     def build_predictor():
@@ -202,12 +225,12 @@ def main(argv=None) -> dict:
                 )
             return p
         model, calib = load_model(args.svm_model)
-        mode, cube_dtype = fused_mode_and_dtype()
+        mode, cube_dtype, zc = fused_mode_and_dtype()
         return RadarPredictor(
             train_arena=DEFAULT_ARENA, scan_arena=scan_arena,
             model=model, calibration=calib,
             min_proba=args.min_proba, mode=mode,
-            cube_dtype=cube_dtype,
+            cube_dtype=cube_dtype, fused_z_chunk=zc,
         )
 
     predictor = build_predictor()

@@ -96,7 +96,8 @@ def preprocess_multiview(
             are APPENDED to the clean training set, so augmentation
             only ever adds information.
         augment_copies: number of augmented training-set copies to
-            append in "train_concat" mode.
+            append in "train_concat" mode; 0 appends nothing (the
+            clean-validation split logic still applies).
         device: keep the resized view tensors device-resident (jax
             arrays) — the CNN/SGAN trainers consume them on device
             anyway, and the (N, h, w, 3) stack is the largest tensor in
@@ -113,6 +114,10 @@ def preprocess_multiview(
 
     if augment_mode not in ("replace", "train_concat"):
         raise ValueError(f"unknown augment_mode: {augment_mode!r}")
+    if augment_copies < 0:
+        raise ValueError(
+            f"augment_copies must be >= 0, got {augment_copies}"
+        )
     rng = np.random.default_rng(seed)
     if augment_fn is not None and augment_mode == "replace":
         xz, yz, xy = augment_fn((xz, yz, xy), rng)
@@ -146,7 +151,7 @@ def preprocess_multiview(
         # never touched.
         tr_idx = idx[:split]
         xs, ys = [X_train], [y_train]
-        for _ in range(max(1, augment_copies)):
+        for _ in range(augment_copies):
             a_xz, a_yz, a_xy = augment_fn(
                 (xz[tr_idx], yz[tr_idx], xy[tr_idx]), rng
             )

@@ -163,6 +163,12 @@ class RadarPredictor:
     # lookup/glookup/sel3 are a statistical tie among themselves, so
     # only combo's halved M-tile count separates from drift noise).
     fused_tail: str = "combo"
+    # combo-tail z_chunk override. None = auto_z_chunk(Z, batch) at
+    # trace time (the v5e-measured rule). The mosaic gate's fallback
+    # ladder passes an explicit smaller chunk here when the auto rule
+    # is stale for the current chip/Mosaic (ops auto_z_chunk docstring
+    # says which numbers are measurement vs architecture).
+    fused_z_chunk: Optional[int] = None
     mesh: object = None  # optional jax Mesh: shard scans over 'data'
     # Device dtype of the scan-cube stream. Radar cubes are 8-bit
     # sensor data (reference predict.py:90-91 GetRawImage yields
@@ -197,6 +203,17 @@ class RadarPredictor:
                     "fused_tail must be 'lookup', 'glookup', 'combo', "
                     "'sel' or 'sel3'"
                 )
+            if self.fused_z_chunk is not None:
+                zc = int(self.fused_z_chunk)
+                if self.fused_tail != "combo":
+                    raise ValueError(
+                        "fused_z_chunk applies to fused_tail='combo' only"
+                    )
+                if zc < 1 or self.scan_arena.size_z % zc:
+                    raise ValueError(
+                        f"fused_z_chunk {zc} must be >= 1 and divide "
+                        f"size_z={self.scan_arena.size_z}"
+                    )
             # The kernel's wire format IS int8 (value-128, packed
             # scan-minor); every requested stream dtype resolves to it
             # (all four are lossless for 8-bit radar cubes, so a
@@ -504,6 +521,9 @@ class RadarPredictor:
         )
 
         tail = self.fused_tail
+        zc_override = (
+            int(self.fused_z_chunk) if self.fused_z_chunk else None
+        )
         scan = self.scan_arena
         quant = self._quantized_split_templates()
         dims = (scan.size_x, scan.size_y, scan.size_z)
@@ -619,10 +639,12 @@ class RadarPredictor:
                     if tail == "combo":
                         # Batch is static at trace time, so the
                         # measured step-bound z_chunk bakes into the
-                        # compiled program (auto_z_chunk docstring).
+                        # compiled program (auto_z_chunk docstring);
+                        # fused_z_chunk pins it (gate fallback ladder).
                         m1, m2, m3 = onepass_tables_combined_i8(
                             cube_k, weights, interpret=interpret,
-                            z_chunk=auto_z_chunk(scan.size_z, B),
+                            z_chunk=zc_override
+                            or auto_z_chunk(scan.size_z, B),
                         )
                     elif tail == "glookup":
                         m1, m2, m3 = onepass_tables_grouped_i8(

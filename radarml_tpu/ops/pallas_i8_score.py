@@ -824,21 +824,42 @@ def _kernel_combined_zc(r1, r2, zc, cube_ref, wc_ref,
         o2_ref[...] += p2
 
 
-def auto_z_chunk(Z: int, batch: int, lane_budget: int = 8192) -> int:
+def auto_z_chunk(
+    Z: int, batch: int, lane_budget: int = 8192, zc_cap: int = 8
+) -> int:
     """Measured-default z_chunk for the combined kernel.
 
     The kernel is step-bound on the v5e (benchmarks/zc_probe.py):
     zc=4 at batch 2048 lifts tables-only 3.49M→4.00M scans/s (+15%),
     zc=2 at batch 4096 3.89M→4.18M, zc=8 at batch 256 1.27M→1.65M
-    (+30%). Two measured ceilings bound the chunk: zc·batch = 16384
-    int8 lanes fails the Mosaic gate (the (X·Yg, zc·B) cube block
-    outgrows VMEM double-buffering; 8192 passes everywhere tried),
-    and zc=16 loses to zc=8 at batch 256 even though it fits — so
-    pick the largest chunk ≤ 8 that divides Z inside the lane budget.
+    (+30%). Returns the largest chunk ≤ `zc_cap` that divides Z
+    inside the lane budget.
+
+    Which numbers are architecture vs measurement:
+
+    * "divides Z" — ARCHITECTURE: the grid is (Z/zc, NG); a
+      non-dividing chunk has no kernel.
+    * `lane_budget` 8192 — MEASUREMENT (one v5e + one Mosaic
+      version): zc·batch is the lane count of the kernel's
+      (X·Yg, zc·B) int8 cube block; 16384 lanes SIGABRTs (the
+      double-buffered block plus outputs outgrow the ~16 MB VMEM),
+      8192 passes everywhere tried. A different chip generation or
+      Mosaic release may move this line.
+    * `zc_cap` 8 — MEASUREMENT: zc=16 at batch 256 fits the budget
+      but loses to zc=8 (DMA granularity stops paying).
+
+    Both measured values are overridable per call, and every serving
+    entry point (bench.py, apps/serve.py, apps/predict.py) validates
+    the resulting program through utils/mosaic_gate at its exact
+    batch/arena with a zc→zc/2→…→1 fallback ladder — a stale rule on
+    new hardware degrades to a gated smaller chunk (worst case the
+    zc=1 combined kernel, or the fast+int8 path), never a crash-loop.
     """
-    for zc in (8, 4, 2):
+    zc = zc_cap
+    while zc > 1:
         if Z % zc == 0 and zc * batch <= lane_budget:
             return zc
+        zc //= 2
     return 1
 
 

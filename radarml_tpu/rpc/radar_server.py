@@ -216,14 +216,19 @@ class RadarServingServer:
             self._bq.append(p)
         while not p.done.is_set():
             if self._stopping:
-                # stop() fails everything queued; if our row is mid-
-                # flight on a leader, its done-set wins the race.
+                # stop() fails everything still queued. A row NOT in
+                # the queue was claimed by a leader whose _run_batch
+                # always sets done (success or drained error) — wait
+                # for that done-set so this function's contract
+                # ("always returns with done set") holds on both paths.
                 with self._bq_lock:
                     mine = p in self._bq
                     if mine:
                         self._bq.remove(p)
                 if mine:
                     self._drain_batch([p], RuntimeError("server stopped"))
+                else:
+                    p.done.wait()
                 return
             if self._leaders.acquire(blocking=False):
                 try:
@@ -236,6 +241,14 @@ class RadarServingServer:
                         self._run_batch(batch)
                 finally:
                     self._leaders.release()
+                # Queue empty but our row not done: it rides another
+                # leader's in-flight batch. Wait on its done-set
+                # instead of re-acquiring leadership in a tight loop —
+                # that spin lasts a whole device round trip and (on a
+                # 1-core host) competes with the very leader serving
+                # this request.
+                if not p.done.is_set():
+                    p.done.wait(timeout=0.02)
             else:
                 # All leader slots busy: our row rides someone's
                 # batch, or we retry leadership on the next tick.

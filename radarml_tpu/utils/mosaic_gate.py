@@ -24,46 +24,119 @@ probe each tail in order; print ``ok <tail>`` (flushed) after each
 success and ``fail <tail> …`` to stderr for catchable errors. A crash
 mid-list tells the parent exactly which tail died — the first one with
 neither verdict — and the parent re-spawns for the remainder, so one
-abort never shadows an untested tail.
+abort never shadows an untested tail. ``--batch`` takes a
+comma-separated list; a tail's ``ok`` means it passed at EVERY batch
+(the Mosaic program differs per padded batch, so a multi-bucket
+service gates each distinct program in one child).
+
+Tail specs: a bare tail name probes the predictor's defaults; the
+``combo@<zc>`` form pins the combined kernel's z_chunk. When a bare
+``combo`` crashes the child, the parent walks a zc→zc/2→…→1 fallback
+ladder (re-probing ``combo@<smaller>``) before giving up — so a chip
+or Mosaic where the v5e-measured auto_z_chunk rule is stale degrades
+to a gated smaller chunk instead of losing the combo tail outright
+(ops/pallas_i8_score.auto_z_chunk documents which of its numbers are
+measurement vs architecture). The passing spec is returned verbatim;
+callers map it with ``split_tail_spec``.
 """
 
 from __future__ import annotations
 
 import subprocess
 import sys
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, List, Optional, Sequence, Tuple, Union
 
 #: "tables" probes the raw onepass_tables_i8 kernel (no scoring tail).
 GATE_TAILS = ("lookup", "sel", "sel3")
 
 
+def split_tail_spec(spec: str) -> Tuple[str, Optional[int]]:
+    """'combo@4' → ('combo', 4); 'lookup' → ('lookup', None)."""
+    base, sep, zc = spec.partition("@")
+    return (base, int(zc)) if sep else (base, None)
+
+
+def resolve_tail(
+    passed: Iterable[str], tail: str
+) -> Tuple[bool, Optional[int]]:
+    """(did `tail` pass, its pinned z_chunk if any) from a
+    gate_fused_variants result — the ladder may have passed a tail
+    under a 'combo@<zc>' spec rather than its bare name."""
+    for spec in passed:
+        base, zc = split_tail_spec(spec)
+        if base == tail:
+            return True, zc
+    return False, None
+
+
+def _zc_ladder_next(
+    spec: str, batches: Sequence[int], arena: str = ""
+) -> Optional[str]:
+    """Next fallback rung after a rejected combo spec, or None.
+
+    A bare 'combo' rejection means auto_z_chunk's measured rule picked
+    a chunk Mosaic rejects at (one of) the caller's batches; retry at
+    half the largest auto chunk across the batches, halving further
+    (skipping non-divisors of Z) down to zc=1, the single-slice
+    kernel — if that is rejected too the tail is genuinely out.
+    """
+    base, zc = split_tail_spec(spec)
+    if base != "combo":
+        return None
+    from radarml_tpu.apps.common_cli import parse_arena
+    from radarml_tpu.ops.pallas_i8_score import auto_z_chunk
+
+    Z = parse_arena(arena).size_z
+    if zc is None:
+        zc = max(auto_z_chunk(Z, b) for b in batches)
+    nxt = zc // 2
+    while nxt > 1 and Z % nxt:
+        nxt //= 2
+    return f"combo@{max(nxt, 1)}" if zc > 1 else None
+
+
 def gate_fused_variants(
     tails: Iterable[str] = GATE_TAILS,
-    batch: int = 256,
+    batch: Union[int, Sequence[int]] = 256,
     timeout: float = 900.0,
     log=None,
     arena: str = "",
 ) -> List[str]:
     """Return the subset of `tails` that survive compile+execute.
 
-    `batch` and `arena` (a --scan_arena CSV spec, '' = training arena)
-    select the exact kernel program to vouch for. On non-TPU backends
-    every tail passes without spawning anything (interpret mode, no
-    Mosaic). On TPU, tails are probed in child processes; a tail whose
-    child dies (signal, abort, nonzero exit) is dropped. If a child
-    HANGS past `timeout` (tunnel outage, not a kernel problem), the
-    tails probed so far are returned and the rest are dropped — the
-    caller keeps its one-JSON-line contract either way.
+    `batch` (one int or a sequence — a multi-bucket service gates
+    every distinct padded batch it will compile) and `arena` (a
+    --scan_arena CSV spec, '' = training arena) select the exact
+    kernel programs to vouch for; an ``ok`` means the tail passed at
+    every batch. On non-TPU backends every tail passes without
+    spawning anything (interpret mode, no Mosaic). On TPU, tails are
+    probed in child processes; a tail whose child dies (signal,
+    abort, nonzero exit) is dropped — except 'combo', which walks the
+    z_chunk fallback ladder (module docstring) and may come back as
+    'combo@<zc>' in the result. If a child HANGS past `timeout`
+    (tunnel outage, not a kernel problem), the tails probed so far
+    are returned and the rest are dropped — the caller keeps its
+    one-JSON-line contract either way.
     """
     import jax
 
     tails = list(tails)
+    batches = sorted(
+        {int(b) for b in (batch if hasattr(batch, "__iter__") else (batch,))}
+    )
     if jax.default_backend() != "tpu":
         return tails
 
     def note(msg: str) -> None:
         if log is not None:
             log(msg)
+
+    def ladder(spec: str) -> List[str]:
+        nxt = _zc_ladder_next(spec, batches, arena)
+        if nxt:
+            note(f"mosaic gate: retrying {nxt} (fallback ladder)")
+            return [nxt]
+        return []
 
     passed: List[str] = []
     remaining = tails
@@ -73,7 +146,7 @@ def gate_fused_variants(
             "-m",
             "radarml_tpu.utils.mosaic_gate",
             "--batch",
-            str(batch),
+            ",".join(str(b) for b in batches),
         ]
         if arena:
             cmd += ["--arena", arena]
@@ -89,20 +162,23 @@ def gate_fused_variants(
             return passed
         ok, failed = _parse_verdicts(proc.stdout, proc.stderr)
         passed.extend(t for t in remaining if t in ok)
+        retry: List[str] = []
         for t in remaining:
             if t in failed:
                 note(f"mosaic gate: {t} failed in-child: {failed[t]}")
+                retry += ladder(t)
         survivors = [
             t for t in remaining if t not in ok and t not in failed
         ]
         if proc.returncode == 0:
             for t in survivors:  # unknown tail names etc.
                 note(f"mosaic gate: {t} not probed by the child")
-            return passed
+            remaining = retry
+            continue
         # Child died (Mosaic abort / signal) on the first survivor —
         # tails with a catchable 'fail' verdict were already past.
         if survivors:
-            dead, remaining = survivors[0], survivors[1:]
+            dead, rest = survivors[0], survivors[1:]
             tail_err = (proc.stderr or "").strip().splitlines()
             note(
                 f"mosaic gate: {dead} crashed the child "
@@ -110,8 +186,9 @@ def gate_fused_variants(
                 + (f"; last stderr: {tail_err[-1][:200]}" if tail_err else "")
                 + "); skipping it"
             )
+            remaining = ladder(dead) + retry + rest
         else:  # crashed after the last verdict (e.g. at interpreter exit)
-            return passed
+            remaining = retry
     return passed
 
 
@@ -147,11 +224,16 @@ def _child_main(argv: List[str]) -> int:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=str, default="256",
+                    help="comma-separated batch sizes; a tail passes "
+                         "only if every batch's program runs")
     ap.add_argument("--arena", type=str, default="",
                     help="--scan_arena CSV spec ('' = training arena)")
-    ap.add_argument("tails", nargs="+")
+    ap.add_argument("tails", nargs="+",
+                    help="tail names; 'combo@<zc>' pins the combined "
+                         "kernel's z_chunk")
     args = ap.parse_args(argv)
+    batches = sorted({int(b) for b in args.batch.split(",")})
 
     import os
 
@@ -205,15 +287,26 @@ def _child_main(argv: List[str]) -> int:
 
     # Scan cubes on the SCAN arena's grid (the kernel is keyed on it).
     rng = np.random.default_rng(7)
-    cubes_np = rng.integers(
-        0, 256, size=(args.batch,) + scan_arena.grid_shape, dtype=np.uint8
-    )
-    xyz_np, valid_np = pad_targets(
-        [[(5.0, 5.0, 100.0)]] * args.batch, max_targets=4
-    )
+    cubes_by_batch = {
+        b: rng.integers(
+            0, 256, size=(b,) + scan_arena.grid_shape, dtype=np.uint8
+        )
+        for b in batches
+    }
+    targets_by_batch = {
+        b: pad_targets([[(5.0, 5.0, 100.0)]] * b, max_targets=4)
+        for b in batches
+    }
 
-    packed = None
-    for tail in args.tails:
+    packed = {}  # batch → device-resident packed wire layout
+
+    def packed_for(p, b):
+        if b not in packed:
+            packed[b] = jax.device_put(p.pack_host(cubes_by_batch[b]))
+        return packed[b]
+
+    for spec in args.tails:
+        tail, zc = split_tail_spec(spec)
         try:
             if tail == "tables":
                 from radarml_tpu.ops.pallas_i8_score import (
@@ -232,27 +325,29 @@ def _child_main(argv: List[str]) -> int:
                     ),
                     y_group=p._pack_y_group,
                 )
-                if packed is None:
-                    packed = jax.device_put(p.pack_host(cubes_np))
                 interp = jax.default_backend() != "tpu"
-                out = jax.jit(
+                tab = jax.jit(
                     lambda ck: onepass_tables_i8(ck, w, interpret=interp)
-                )(packed)
-                _ = jax.device_get(out[0][:1, :1])
+                )
+                for b in batches:
+                    out = tab(packed_for(p, b))
+                    _ = jax.device_get(out[0][:1, :1])
             else:
-                p = RadarPredictor(mode="fused", fused_tail=tail, **kw)
-                if packed is None:
-                    packed = jax.device_put(p.pack_host(cubes_np))
-                pred, _, _ = p(packed, xyz_np, valid_np)
-                _ = jax.device_get(pred[:1])
+                p = RadarPredictor(
+                    mode="fused", fused_tail=tail, fused_z_chunk=zc, **kw
+                )
+                for b in batches:
+                    xyz_np, valid_np = targets_by_batch[b]
+                    pred, _, _ = p(packed_for(p, b), xyz_np, valid_np)
+                    _ = jax.device_get(pred[:1])
         except Exception as e:  # catchable failure — report, keep probing
             print(
-                f"fail {tail} {type(e).__name__}: {str(e)[:200]}",
+                f"fail {spec} {type(e).__name__}: {str(e)[:200]}",
                 file=sys.stderr,
                 flush=True,
             )
             continue
-        print(f"ok {tail}", flush=True)
+        print(f"ok {spec}", flush=True)
     return 0
 
 

@@ -73,6 +73,80 @@ def test_predict_app_fused_mode(workdir, trained):
     assert names <= {"person", "dog", "cat", "Unknown"}
 
 
+def test_predict_app_fused_gate_rejection_falls_back(
+    workdir, trained, monkeypatch
+):
+    """A Mosaic gate rejection on the predict path must produce
+    fallback predictions (mode=fast cube_dtype=int8), not a dead
+    process — the same contract apps/serve.py already has."""
+    import jax
+
+    from radarml_tpu.apps import predict as predict_app
+    from radarml_tpu.utils import mosaic_gate
+
+    calls = {}
+
+    def reject_all(tails, **kwargs):
+        calls["tails"] = list(tails)
+        calls["batch"] = kwargs.get("batch")
+        return []
+
+    # The gate only arms on TPU backends; fake one so the rejection
+    # path runs (the predictor itself still executes on CPU).
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        mosaic_gate, "gate_fused_variants", reject_all
+    )
+    results = predict_app.main(
+        ["--num_scans", "4", "--batch_scans", "2", "--mode", "fused",
+         "--min_proba", "0.0"]
+    )
+    assert results  # fallback path classified targets
+    assert calls["tails"], "gate was not consulted"
+    assert calls["batch"] == 128  # batch_scans=2 lane-pads to 128
+
+
+def test_predict_app_fused_gate_ladder_pins_z_chunk(
+    workdir, trained, monkeypatch
+):
+    """A gate that passes combo only at a smaller z_chunk must pin
+    that chunk on the predictor instead of the auto rule."""
+    import jax
+
+    from radarml_tpu.apps import predict as predict_app
+    from radarml_tpu.models import pipeline as pipeline_mod
+    from radarml_tpu.utils import mosaic_gate
+
+    built = {}
+    real_predictor = pipeline_mod.RadarPredictor
+    real_backend = jax.default_backend
+
+    def spy(*a, **k):
+        # The gate check (which needed the fake TPU backend) has run
+        # by now; the predictor itself must see the real CPU backend
+        # so the fused kernel builds in interpret mode.
+        monkeypatch.setattr(jax, "default_backend", real_backend)
+        p = real_predictor(*a, **k)
+        built["fused_z_chunk"] = p.fused_z_chunk
+        built["mode"] = p.mode
+        return p
+
+    spy.__dataclass_fields__ = real_predictor.__dataclass_fields__
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        mosaic_gate, "gate_fused_variants",
+        lambda tails, **k: [f"{list(tails)[0]}@2"],
+    )
+    monkeypatch.setattr(predict_app, "RadarPredictor", spy)
+    results = predict_app.main(
+        ["--num_scans", "2", "--mode", "fused", "--min_proba", "0.0"]
+    )
+    assert results
+    assert built["mode"] == "fused"
+    assert built["fused_z_chunk"] == 2
+
+
 def test_capture_and_visualize_apps(workdir):
     from radarml_tpu.apps import ground_truth_samples as gts_app
     from radarml_tpu.apps import visualize as vis_app

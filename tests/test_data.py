@@ -213,6 +213,19 @@ def test_preprocess_multiview_train_concat_augment(rng):
     with pytest.raises(ValueError):
         preprocess_multiview(samples, labels, rescale=(16, 16),
                              augment_fn=aug, augment_mode="bogus")
+    # augment_copies does what it says: 0 appends nothing (it used to
+    # silently append one copy), negatives are loud
+    pre0 = preprocess_multiview(samples, labels, rescale=(16, 16),
+                                train_split=0.75, augment_fn=aug,
+                                augment_mode="train_concat",
+                                augment_copies=0)
+    assert pre0["X_train"].shape[0] == n0
+    np.testing.assert_allclose(pre0["X_train"], clean["X_train"])
+    with pytest.raises(ValueError, match="augment_copies"):
+        preprocess_multiview(samples, labels, rescale=(16, 16),
+                             augment_fn=aug,
+                             augment_mode="train_concat",
+                             augment_copies=-1)
 
 
 def test_balance_classes_sup_mask_early_return_order(rng):

@@ -161,6 +161,87 @@ def test_parent_crash_after_last_ok_returns_passed(monkeypatch):
     assert out == ["lookup", "sel", "sel3"]
 
 
+def test_split_and_resolve_tail_specs():
+    assert mosaic_gate.split_tail_spec("combo@4") == ("combo", 4)
+    assert mosaic_gate.split_tail_spec("lookup") == ("lookup", None)
+    assert mosaic_gate.resolve_tail(["lookup", "combo@2"], "combo") == (
+        True,
+        2,
+    )
+    assert mosaic_gate.resolve_tail(["combo"], "combo") == (True, None)
+    assert mosaic_gate.resolve_tail(["lookup"], "combo") == (False, None)
+
+
+def test_zc_ladder_walks_down_on_combo_crash(monkeypatch):
+    """A crashed bare 'combo' retries at half the auto z_chunk and
+    keeps halving; the passing rung is returned as 'combo@<zc>'.
+    auto_z_chunk(176, 2048) = 4 on the default rule, so the ladder is
+    combo → combo@2 → combo@1 → (out)."""
+    _fake_tpu(monkeypatch)
+    calls = []
+
+    def fake_run(cmd, **k):
+        specs = [a for a in cmd if a.startswith("combo")]
+        calls.append(specs)
+        if specs == ["combo"]:
+            return _Proc("", -6)  # Mosaic abort at the auto chunk
+        assert specs == ["combo@2"]
+        return _Proc("ok combo@2\n", 0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("combo",), batch=2048)
+    assert out == ["combo@2"]
+    assert calls == [["combo"], ["combo@2"]]
+    assert mosaic_gate.resolve_tail(out, "combo") == (True, 2)
+
+
+def test_zc_ladder_exhausts_to_rejection(monkeypatch):
+    """Every rung crashing (down to zc=1) drops the tail for real."""
+    _fake_tpu(monkeypatch)
+    calls = []
+
+    def fake_run(cmd, **k):
+        specs = [a for a in cmd if a.startswith("combo")]
+        calls.append(specs)
+        return _Proc("", -6)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("combo",), batch=2048)
+    assert out == []
+    assert calls == [["combo"], ["combo@2"], ["combo@1"]]
+
+
+def test_zc_ladder_on_catchable_combo_failure(monkeypatch):
+    """An in-child (catchable) combo failure also walks the ladder —
+    some Mosaic rejections surface as exceptions, not aborts."""
+    _fake_tpu(monkeypatch)
+
+    def fake_run(cmd, **k):
+        specs = [a for a in cmd if a.startswith("combo")]
+        if specs == ["combo"]:
+            return _Proc("", 0, stderr="fail combo XlaRuntimeError: vmem\n")
+        return _Proc(f"ok {specs[0]}\n", 0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("combo",), batch=2048)
+    assert out == ["combo@2"]
+
+
+def test_multi_batch_gate_passes_batch_list_to_child(monkeypatch):
+    _fake_tpu(monkeypatch)
+    seen = {}
+
+    def fake_run(cmd, **k):
+        seen["cmd"] = cmd
+        return _Proc("ok lookup\n", 0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("lookup",), batch=(128, 2048, 128))
+    assert out == ["lookup"]
+    cmd = seen["cmd"]
+    assert cmd[cmd.index("--batch") + 1] == "128,2048"
+
+
 def test_child_protocol_reports_each_passing_tail():
     # The child CLI is what real-TPU bench runs execute; drive it on the
     # CPU backend (interpret-mode kernel) with a tiny batch. One tail

@@ -416,6 +416,34 @@ def test_fused_wire_layout_is_tail_independent(rng):
     )
 
 
+def test_fused_z_chunk_override(rng):
+    """fused_z_chunk pins the combo kernel's chunk (the gate's
+    fallback-ladder knob): identical results to the auto rule at
+    every valid chunk, loud errors on invalid ones."""
+    kw = _linear_fixture(rng)
+    cubes, xyz, valid = _scan_fixture(rng)
+    auto = RadarPredictor(mode="fused", fused_tail="combo", **kw)
+    packed = auto.pack_host(cubes)
+    base = auto(packed, xyz, valid)
+    for zc in (1, 2, 4):
+        pinned = RadarPredictor(
+            mode="fused", fused_tail="combo", fused_z_chunk=zc, **kw
+        )
+        got = pinned(packed, xyz, valid)
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(got[2]),
+                                      np.asarray(base[2]))
+    with pytest.raises(ValueError, match="divide"):
+        RadarPredictor(
+            mode="fused", fused_tail="combo", fused_z_chunk=3, **kw
+        )
+    with pytest.raises(ValueError, match="combo"):
+        RadarPredictor(
+            mode="fused", fused_tail="lookup", fused_z_chunk=2, **kw
+        )
+
+
 def test_fused_mode_validation(rng):
     kw = _linear_fixture(rng)
     # every requested stream dtype resolves to the int8 wire format
