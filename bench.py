@@ -32,13 +32,21 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 5.0
-BATCH = 2048
+# Measured-best bulk operating point (benchmarks/zc_probe.py): at
+# batch 4096 the combo kernel runs z_chunk=2 (auto_z_chunk's 8192-lane
+# VMEM budget) and measures ~4.18M scans/s vs ~4.0M at 2048/zc=4 —
+# the bench times every mode at the batch the record claims. The env
+# override exists for CPU smoke runs during tunnel outages (the
+# interpret-mode Pallas kernels are impractically slow at full batch),
+# never for the record: BENCH_r{N}.json carries "batch" either way.
+BATCH = int(os.environ.get("RADARML_BENCH_BATCH", "4096"))
 MAX_TARGETS = 4
 
 
@@ -228,6 +236,7 @@ def main():
     )
     ok_tails = {split_tail_spec(s)[0] for s in ok_specs}
     fused_tails_timed = {}  # JSON record: mode → exact tail program
+    skipped_modes = {}  # JSON record: mode → why it has no measurement
     combo_zc = None
     for name, tail in fused_tail_of.items():
         ok, zc = resolve_tail(ok_specs, tail)
@@ -236,6 +245,7 @@ def main():
                 f"# mode {name} skipped: Mosaic gate rejected tail '{tail}'",
                 file=sys.stderr,
             )
+            skipped_modes[name] = f"mosaic gate rejected tail '{tail}'"
             continue
         predictors[name] = RadarPredictor(
             mode="fused", fused_tail=tail, fused_z_chunk=zc, **kw
@@ -266,21 +276,55 @@ def main():
             jnp.asarray(arr, dtype=jnp.dtype(predictor.cube_dtype))
         )
 
-    timers = {}
-    for name, predictor in predictors.items():
+    # Interleaved rounds + medians apply to the CONTESTED modes (the
+    # headline contenders, whose gaps are within drift); the legacy
+    # modes sit 2-10x apart, one round orders them fine. The split
+    # also bounds device memory: at batch 4096 the ten modes' cube
+    # buffers total ~9.4 GB resident, and exact's multi-GB transient
+    # working set on top of that OOMs the 16 GB chip mid-round (the
+    # first batch-4096 run died exactly this way) — so the legacy
+    # modes measure one at a time with their buffers FREED before the
+    # interleaved phase, which keeps only the contested modes'
+    # ~2.5 GB of int8 buffers resident.
+    contested = {"fast_i8", "fused", "fused_g", "fused_c", "fused_sel",
+                 "fused_sel3"}
+
+    def make_timer(predictor, cubes):
+        return lambda: BATCH / slope_time(
+            lambda: predictor(cubes, xyz, valid),
+            lambda out: jax.device_get(out[0][:1]),
+        )
+
+    runs = {}
+    for name in [n for n in predictors if n not in contested]:
+        predictor = predictors[name]
+        cubes = None
         try:
             cubes = put_cubes(cubes_np, predictor)
             pred, best_p, _ = predictor(cubes, xyz, valid)  # warmup/compile
             _ = jax.device_get(pred[:1])
+            runs[name] = [make_timer(predictor, cubes)()]
         except Exception as e:  # keep the bench robust to kernel regressions
-            print(f"# mode {name} failed: {type(e).__name__}", file=sys.stderr)
+            print(f"# mode {name} failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+            skipped_modes[name] = f"failed: {type(e).__name__}"
+        finally:
+            del cubes  # free this mode's device buffers before the next
+    mark("legacy modes done")
+
+    timers = {}
+    for name in [n for n in predictors if n in contested]:
+        predictor = predictors[name]
+        try:
+            cubes = put_cubes(cubes_np, predictor)
+            pred, best_p, _ = predictor(cubes, xyz, valid)  # warmup/compile
+            _ = jax.device_get(pred[:1])
+        except Exception as e:
+            print(f"# mode {name} failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+            skipped_modes[name] = f"warmup failed: {type(e).__name__}"
             continue
-        timers[name] = (
-            lambda predictor=predictor, cubes=cubes: BATCH / slope_time(
-                lambda: predictor(cubes, xyz, valid),
-                lambda out: jax.device_get(out[0][:1]),
-            )
-        )
+        timers[name] = make_timer(predictor, cubes)
     mark("warmup compiles done")
     # Interleaved rounds + medians: the dev tunnel's device state
     # drifts on a scale of minutes and swings single-shot slope rates
@@ -291,27 +335,19 @@ def main():
     # alike, and the median absorbs the episodes — so the headline and
     # the mode ordering in BENCH_r{N}.json are defensible rather than
     # a snapshot of whichever mode was on the bench in a good minute.
-    # Only the CONTESTED modes (the headline contenders, whose gaps
-    # are within drift) pay the extra rounds; the legacy modes sit
-    # 2-10x apart and one round orders them fine — this keeps the
-    # bench inside the driver's time budget. Rounds are seconds each
-    # (the compiles above are the expensive part), and the short
-    # sleep spreads them across ~1 min of device state so the median
-    # samples more than one drift episode.
-    contested = {"fast_i8", "fused", "fused_g", "fused_c", "fused_sel",
-                 "fused_sel3"}
-    runs = {name: [] for name in timers}
+    # Rounds are seconds each (the compiles above are the expensive
+    # part), and the short sleep spreads them across ~1 min of device
+    # state so the median samples more than one drift episode.
+    runs.update({name: [] for name in timers})
     for rnd in range(7):
         if rnd > 0:
             time.sleep(3)
         for name, t in timers.items():
-            if rnd > 0 and name not in contested:
-                continue
             try:
                 runs[name].append(t())
             except Exception as e:
-                print(f"# mode {name} round failed: {type(e).__name__}",
-                      file=sys.stderr)
+                print(f"# mode {name} round failed: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr)
     rates = {
         name: float(np.median(v)) for name, v in runs.items() if v
     }
@@ -363,10 +399,18 @@ def main():
     # one-HBM-pass kernel with no scoring tail). Folding it into the
     # record keeps the kernel→pipeline gap visible in BENCH_r{N}.json
     # itself instead of a separate probe.
+    # Each kernel bound is gated by its OWN evidence: the bare
+    # ungrouped kernel by the explicit "tables" probe, the grouped and
+    # combined kernels by their tails' gate passes (the glookup/combo
+    # predictors compile the identical pallas program at this batch) —
+    # so a compile-server rejection of one kernel doesn't silently
+    # drop the others from the record (the batch-4096 run lost the
+    # combined bound exactly that way).
     r_tables = None
     r_gtables = None
     r_ctables = None
-    if "tables" in ok_tails and "fused" in predictors:
+    if "fused" in predictors or "fused_g" in predictors \
+            or "fused_c" in predictors:
         try:
             from radarml_tpu.core.arena import DEFAULT_ARENA as _A
             from radarml_tpu.ops.pallas_i8_score import (
@@ -379,26 +423,35 @@ def main():
                 onepass_tables_i8,
             )
 
-            packer = predictors["fused"]
+            packer = next(
+                predictors[k] for k in ("fused", "fused_g", "fused_c")
+                if k in predictors
+            )
             quant = packer._quantized_split_templates()
             dims = (_A.size_x, _A.size_y, _A.size_z)
             yg = packer._pack_y_group
-            w = build_onepass_weights(quant, dims, y_group=yg)
             interp = jax.devices()[0].platform != "tpu"
-            tab = jax.jit(
-                lambda ck: onepass_tables_i8(ck, w, interpret=interp)
-            )
             cube_k = put_cubes(cubes_np, packer)
-            _ = jax.device_get(tab(cube_k)[0][:1])
-            # Grouped kernel: the glookup tail's own upper bound
-            # (~29% fewer MACs than the ungrouped dots).
-            wg = build_grouped_weights(quant, dims, y_group=yg)
-            gtab = jax.jit(
-                lambda ck: onepass_tables_grouped_i8(ck, wg, interpret=interp)
-            )
-            _ = jax.device_get(gtab(cube_k)[0][:1])
-            kernels = {"tables_only": tab, "gtables_only": gtab}
-            if "combo" in ok_tails:
+            kernels = {}
+            if "tables" in ok_tails:
+                w = build_onepass_weights(quant, dims, y_group=yg)
+                tab = jax.jit(
+                    lambda ck: onepass_tables_i8(ck, w, interpret=interp)
+                )
+                _ = jax.device_get(tab(cube_k)[0][:1])
+                kernels["tables_only"] = tab
+            if "fused_g" in predictors:
+                # Grouped kernel: the glookup tail's own upper bound
+                # (~29% fewer MACs than the ungrouped dots).
+                wg = build_grouped_weights(quant, dims, y_group=yg)
+                gtab = jax.jit(
+                    lambda ck: onepass_tables_grouped_i8(
+                        ck, wg, interpret=interp
+                    )
+                )
+                _ = jax.device_get(gtab(cube_k)[0][:1])
+                kernels["gtables_only"] = gtab
+            if "fused_c" in predictors:
                 # Combined kernel: one stacked dot per step — half the
                 # grouped kernel's MXU tile passes — at the shipped
                 # z_chunk (the combo tail's upper bound).
@@ -420,14 +473,16 @@ def main():
                         lambda fn=fn: fn(cube_k),
                         lambda o: jax.device_get(o[0][:1, :1]),
                     ))
-            r_tables = float(np.median(kruns["tables_only"]))
-            r_gtables = float(np.median(kruns["gtables_only"]))
+            if "tables_only" in kruns:
+                r_tables = float(np.median(kruns["tables_only"]))
+            if "gtables_only" in kruns:
+                r_gtables = float(np.median(kruns["gtables_only"]))
             if "ctables_only" in kruns:
                 r_ctables = float(np.median(kruns["ctables_only"]))
             runs.update(kruns)
         except Exception as e:
-            print(f"# tables-only rate failed: {type(e).__name__}",
-                  file=sys.stderr)
+            print(f"# tables-only rate failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
 
     mark("tables-only done")
 
@@ -498,6 +553,7 @@ def main():
                 # (and the library default, for cross-round
                 # comparability of the keys vs the shipped default).
                 "fused_tails": fused_tails_timed,
+                **({"skipped_modes": skipped_modes} if skipped_modes else {}),
                 "default_fused_tail": RadarPredictor.__dataclass_fields__[
                     "fused_tail"
                 ].default,

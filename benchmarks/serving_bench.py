@@ -163,20 +163,23 @@ def _grpc_scenario(
 
 def _grpc_stream_scenario(
     predictor, dtype: str, duration_s: float, batch_size: int,
+    n_clients: int = 1,
 ):
-    """ClassifyStream: one call, continuous request stream, server-side
-    batch coalescing — amortizes per-RPC overhead entirely."""
+    """ClassifyStream: continuous request stream(s), server-side batch
+    coalescing — amortizes per-RPC overhead entirely. With
+    n_clients > 1, that many independent streams run concurrently
+    (each its own channel and call), exercising the server's
+    padding/bucket logic across interleaved streams."""
     from radarml_tpu.core.arena import DEFAULT_ARENA
     from radarml_tpu.rpc import RadarServingClient, RadarServingServer
 
     server = RadarServingServer(
         predictor, classes=["cat", "dog", "person"],
         grid_shape=DEFAULT_ARENA.grid_shape,
-        batch_size=batch_size, max_workers=4,
+        batch_size=batch_size, max_workers=n_clients + 4,
     ).start()
-    client = RadarServingClient(
-        f"127.0.0.1:{server.port}", timeout_s=duration_s + 120.0
-    )
+    addr = f"127.0.0.1:{server.port}"
+    warm = RadarServingClient(addr, timeout_s=duration_s + 120.0)
     rng = np.random.default_rng(3)
     cube = np.rint(
         rng.random(DEFAULT_ARENA.grid_shape) * 255
@@ -184,26 +187,47 @@ def _grpc_stream_scenario(
     targets = [(5.0, 5.0, 100.0), (-10.0, 3.0, 150.0)]
 
     # Warm the (batch_size, T) program + the wire.
-    list(client.classify_stream(iter([(cube, targets)] * 3), dtype=dtype))
+    list(warm.classify_stream(iter([(cube, targets)] * 3), dtype=dtype))
 
-    stats0 = client.get_stats()
-    deadline = time.perf_counter() + duration_s
+    stats0 = warm.get_stats()
+    counts = [0] * n_clients
+    start_evt = threading.Event()
+    deadline = [0.0]
 
-    def scans():
-        while time.perf_counter() < deadline:
-            yield (cube, targets)
+    def run(i):
+        client = RadarServingClient(addr, timeout_s=duration_s + 120.0)
+        start_evt.wait()
 
+        def scans():
+            while time.perf_counter() < deadline[0]:
+                yield (cube, targets)
+
+        counts[i] = sum(
+            1 for _ in client.classify_stream(scans(), dtype=dtype)
+        )
+        client.close()
+
+    threads = [
+        threading.Thread(target=run, args=(i,), daemon=True)
+        for i in range(n_clients)
+    ]
+    for t in threads:
+        t.start()
     t0 = time.perf_counter()
-    n = sum(1 for _ in client.classify_stream(scans(), dtype=dtype))
+    deadline[0] = t0 + duration_s
+    start_evt.set()
+    for t in threads:
+        t.join(timeout=duration_s + 120.0)
     wall = time.perf_counter() - t0
-    stats1 = client.get_stats()
-    client.close()
+    stats1 = warm.get_stats()
+    warm.close()
     server.stop()
 
+    n = sum(counts)
     reqs = stats1.classify_requests - stats0.classify_requests
     batches = stats1.classify_batches - stats0.classify_batches
     return {
-        "clients": 1,
+        "clients": n_clients,
         "transport": "ClassifyStream",
         "requests": int(n),
         "scans_per_sec": round(n / wall, 1),
@@ -274,6 +298,12 @@ def main():
                     help="grpc batch windows (ms); 0 = no batching")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--stream_batch", type=int, default=64)
+    ap.add_argument("--stream_clients", type=int, nargs="+",
+                    default=[1, 4, 16],
+                    help="concurrent ClassifyStream calls per scenario")
+    ap.add_argument("--no_direct_attach", action="store_true",
+                    help="skip the CPU direct-attach section (used by "
+                         "the child process that runs it)")
     ap.add_argument("--out", default="SERVING_BENCH.json")
     ap.add_argument("--platform", default="",
                     help="force a jax platform (e.g. 'cpu' during TPU "
@@ -325,14 +355,60 @@ def main():
             # bench.py contract — this runs as `bench.py --serving`)
             print(f"# grpc {s}", file=sys.stderr, flush=True)
 
-    grpc_stream = _grpc_stream_scenario(
-        predictor, args.dtype, args.duration, args.batch_size
-    )
-    scenarios.append(grpc_stream)
-    print(f"# grpc {grpc_stream}", file=sys.stderr, flush=True)
+    for n in args.stream_clients:
+        grpc_stream = _grpc_stream_scenario(
+            predictor, args.dtype, args.duration, args.batch_size,
+            n_clients=n,
+        )
+        scenarios.append(grpc_stream)
+        print(f"# grpc {grpc_stream}", file=sys.stderr, flush=True)
 
     stream = _streaming_scenario(predictor, args.duration, args.stream_batch)
     print(f"# stream {stream}", file=sys.stderr, flush=True)
+
+    # Direct-attach section: the matrix above is tunnel-bound on this
+    # dev host (~28 ms per device round trip), so the artifact also
+    # carries the same gRPC surfaces against a directly-attached
+    # backend — this host's CPU, the weakest direct-attach case — the
+    # number a real deployment (chip on PCIe/ICI) can expect to beat.
+    # Child process: the backend must be chosen before jax init, and
+    # this one core can't run two heavy processes at once, so it runs
+    # after the TPU matrix completes.
+    direct = None
+    if not args.platform and not args.no_direct_attach:
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--platform", "cpu", "--out", tf.name,
+                "--dtype", args.dtype, "--mode", "fast",
+                "--duration", str(args.duration),
+                "--clients", "1", "4",
+                "--windows", *[str(w) for w in args.windows],
+                "--stream_clients", "1", "4",
+                "--batch_size", str(args.batch_size),
+                "--stream_batch", str(args.stream_batch),
+                "--no_direct_attach",
+            ]
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=1800
+                )
+                for ln in proc.stderr.splitlines():
+                    print(f"# direct{ln[1:] if ln.startswith('#') else ln}",
+                          file=sys.stderr, flush=True)
+                with open(tf.name) as f:
+                    child = json.load(f)
+                direct = {
+                    "device": child["device"],
+                    "grpc": child["grpc"],
+                    "streaming": child["streaming"],
+                }
+            except Exception as e:
+                print(f"# direct-attach section failed: {type(e).__name__}",
+                      file=sys.stderr, flush=True)
 
     best = max(scenarios, key=lambda s: s.get("scans_per_sec", 0.0))
     artifact = {
@@ -341,6 +417,7 @@ def main():
         "device": str(jax.devices()[0]),
         "grpc": scenarios,
         "streaming": stream,
+        **({"direct_attach": direct} if direct else {}),
         "baseline_scans_per_sec": 5.0,
     }
     with open(args.out, "w") as f:

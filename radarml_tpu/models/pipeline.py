@@ -156,12 +156,16 @@ class RadarPredictor:
     #               in VMEM scratch, one-hot row selection at the last
     #               z-step); the XLA tail is dequant+calibrate only.
     # All five are decision-identical; the default follows the
-    # fastest measured variant on a v5e — "combo" won the
-    # interleaved 7-round bench medians OUTSIDE every rival's range
-    # (3.35M scans/s, per-round min 3.28M, vs glookup max 3.14M /
-    # lookup 3.12M / sel3 3.13M / sel 2.88M — BENCH r04 rounds;
-    # lookup/glookup/sel3 are a statistical tie among themselves, so
-    # only combo's halved M-tile count separates from drift noise).
+    # fastest measured variant on a v5e, re-confirmed at every
+    # operating point benched so far: at batch 2048 "combo" won the
+    # interleaved 7-round medians outside every rival's range
+    # (3.35M scans/s vs glookup/lookup/sel3 ≤3.14M — BENCH r04), and
+    # at the measured-best batch 4096 it leads by ~20-23% across two
+    # independent reruns (4.08M/3.97M medians vs glookup 3.30M/3.31M
+    # > lookup 2.96M/3.07M > sel 2.89M/2.91M; sel3's 4096 program is
+    # Mosaic-rejected — round-5 reruns, artifact of record
+    # BENCH_r05.json). Its halved MXU M-tile count is the one tail
+    # delta the hardware separates from drift at every batch.
     fused_tail: str = "combo"
     # combo-tail z_chunk override. None = auto_z_chunk(Z, batch) at
     # trace time (the v5e-measured rule). The mosaic gate's fallback

@@ -67,6 +67,22 @@ per-target lookup tail they absorb (models/pipeline fused_tail):
 Arithmetic is exact in all three: int8 inputs, int32 accumulation —
 the only error vs float64 tables is the template quantization already
 shared with the fast int8 path (~1e-5 relative on decisions).
+
+Status of the in-kernel-selection variants (decided, round 5): the
+`sel`/`sel3` kernels lose to the lookup-family tails in every
+interleaved hardware round (README "the fused-tail experiment": the
+per-target VPU selection serializes against the MXU dots in all 176
+grid steps to save an HBM round-trip worth ≤ ~7% of the cube read)
+and are KEPT FIRST-CLASS anyway — not as an accretion, but because
+(a) they are the only in-repo exercise of dynamic-vs-program_id row
+selection and VMEM scratch accumulation under Mosaic, the capability
+probes a future in-kernel tail would start from; (b) their parity
+tests pin the wire format from a second angle (one packed batch must
+score identically through every tail); and (c) `bench.py` times them
+every round, so the "lookup-family wins" claim stays a measured fact
+rather than a frozen one. The cost of keeping them is ~670 LoC that
+share all infrastructure with the winners; no serving path selects
+them by default.
 """
 
 from __future__ import annotations

@@ -198,9 +198,14 @@ def grid_search_sgd(
 ) -> GridSearchResult:
     """Reference find_best_sgd_svm_estimator equivalent.
 
-    max_iter follows the sklearn heuristic max(1e6/n, 1000) the
-    reference passes (train.py:357), realized as full jitted epochs;
-    `epochs` overrides for fast search.
+    Epoch budget: the reference passes sklearn's max_iter heuristic
+    max(1e6/n, 1000) (train.py:357) and relies on tol early stopping
+    to cut it short. This search's vmapped CV/refit path
+    (`sgd_fit_many`) caps the budget at 300 jitted epochs — with the
+    default tol=1e-3 the stop triggers far below the cap, and with
+    tol=None the cap IS the budget (benchmarks/sgd_quality_probe.py
+    measures both; single-model `sgd_fit`, the online-learning path,
+    honors the uncapped heuristic). `epochs` overrides either way.
 
     With `vmap_candidates` (default), candidates sharing (penalty,
     average) train SIMULTANEOUSLY per fold via `sgd_fit_many` — the

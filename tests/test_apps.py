@@ -336,6 +336,44 @@ def test_serve_app_mode_fused_default_dtype(workdir, trained):
     assert stats["processed"] > 0
 
 
+def test_serve_app_fused_gate_probes_every_bucket(
+    workdir, trained, monkeypatch
+):
+    """serve's startup gate must probe EVERY padded batch shape warmup
+    will compile (the batcher's power-of-two buckets plus max_batch),
+    not just the largest — the combo kernel's Mosaic program differs
+    per padded batch (auto_z_chunk), so an abort at an ungated bucket
+    would SIGABRT the service after the gate had vouched for it."""
+    import jax
+
+    from radarml_tpu.apps import serve as serve_app
+    from radarml_tpu.utils import mosaic_gate
+
+    seen = {}
+
+    def fake_gate(tails, **kwargs):
+        seen["batch"] = kwargs.get("batch")
+        monkeypatch.undo()  # restore CPU backend for the run itself
+        return list(tails)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(mosaic_gate, "gate_fused_variants", fake_gate)
+    stats = serve_app.main(
+        [
+            "--duration", "2",
+            "--mode", "fused",
+            "--min_proba", "0.0",
+            "--max_batch", "8",
+            "--grpc_batch_size", "16",
+            "--driver", "synthetic",
+        ]
+    )
+    assert stats["processed"] > 0
+    # served batches {1, 2, 4, 8, 16} all lane-pad to 128 — one
+    # distinct padded program; a bigger max_batch adds its own pad.
+    assert seen["batch"] == [128]
+
+
 def test_predict_app_derived_targets(workdir, trained):
     from radarml_tpu.apps import predict as predict_app
 

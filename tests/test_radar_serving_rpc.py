@@ -592,6 +592,70 @@ def test_classify_stream_matches_unary_in_order(served):
     assert 1 <= batches <= len(scans)
 
 
+def test_concurrent_classify_streams_do_not_cross(served):
+    """Several ClassifyStream calls running at once (the serving-bench
+    multi-client scenario) must each get their OWN scans' detections
+    back, in order — the server-side batcher coalesces scans from
+    different streams into shared padded device batches, and a
+    slot-accounting bug would hand one stream another's rows."""
+    import threading
+
+    predictor, server, client = served
+    rng = np.random.default_rng(23)
+    n_streams, n_scans = 3, 12
+    per_stream = []
+    for s in range(n_streams):
+        scans = [
+            (
+                np.rint(rng.random(DEFAULT_ARENA.grid_shape) * 255).astype(
+                    np.float32
+                ),
+                # distinct target counts per stream exercise padding
+                [(1.0 * s, -2.0, 90.0 + 5 * i), (0.0, 3.0, 150.0)][
+                    : 1 + (s + i) % 2
+                ],
+            )
+            for i in range(n_scans)
+        ]
+        per_stream.append(scans)
+
+    results = [None] * n_streams
+    errors = []
+
+    def run(s):
+        own = RadarServingClient(f"127.0.0.1:{server.port}")
+        try:
+            results[s] = list(
+                own.classify_stream(iter(per_stream[s]), dtype="uint8")
+            )
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors.append((s, e))
+        finally:
+            own.close()
+
+    threads = [
+        threading.Thread(target=run, args=(s,)) for s in range(n_streams)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+
+    for s, scans in enumerate(per_stream):
+        assert results[s] is not None and len(results[s]) == n_scans
+        for (cube, targets), dets in zip(scans, results[s]):
+            want = client.classify(cube, targets, dtype="uint8")
+            assert len(dets) == len(want) == len(targets)
+            for d, w in zip(dets, want):
+                assert d.target_index == w.target_index
+                assert d.label == w.label
+                np.testing.assert_allclose(
+                    np.asarray(d.class_probas),
+                    np.asarray(w.class_probas), atol=1e-6,
+                )
+
+
 def test_classify_stream_aborts_on_bad_cube(served):
     predictor, server, client = served
     good = np.zeros(DEFAULT_ARENA.grid_shape, np.float32)
