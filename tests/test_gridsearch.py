@@ -176,3 +176,32 @@ def test_svc_batched_grid_resolves_string_gamma(rng):
             named.cv_results[0]["mean_test_score"],
             numeric.cv_results[0]["mean_test_score"], atol=1e-6,
         )
+
+
+def test_grid_search_sgd_tol_none_disables_early_stop(rng):
+    """tol=None (the quality-report recipe, benchmarks/SGD_QUALITY.json)
+    must run the FULL epoch budget: it compiles the no-earlystop fused
+    program, so its CV scores equal an early-stop run whose tolerance
+    can never trigger (tol=-inf) and differ from one that always
+    triggers after n_iter_no_change epochs — the underfit that caused
+    the round-4 SGD quality inversion (0.844 vs 0.911 with tol=None)."""
+    # Overlapping blobs (unit-scale centers): easy sets saturate at
+    # the stop point and hide the early-stop's effect on the scores.
+    n, k, f = 60, 3, 10
+    centers = rng.normal(size=(k, f)) * 1.0
+    y = np.arange(n) % k
+    X = (centers[y] + rng.normal(size=(n, f))).astype(np.float32)
+    grid = [{"alpha": [1e-4, 1e-3], "penalty": ["l2"], "average": [False]}]
+    kw = dict(folds=3, grid=grid, epochs=25)
+    none = gs.grid_search_sgd(X, y, tol=None, **kw)
+    never = gs.grid_search_sgd(X, y, tol=-np.inf, **kw)
+    for a, b in zip(none.cv_results, never.cv_results):
+        np.testing.assert_allclose(
+            a["mean_test_score"], b["mean_test_score"], atol=1e-6
+        )
+    always = gs.grid_search_sgd(X, y, tol=np.inf, **kw)
+    stopped = [
+        abs(a["mean_test_score"] - b["mean_test_score"]) > 1e-9
+        for a, b in zip(none.cv_results, always.cv_results)
+    ]
+    assert any(stopped), "tol=inf early stop changed nothing — the stop path is dead"
