@@ -215,7 +215,13 @@ def main():
     # skips any that a Mosaic version rejects.
     fused_tail_of = {"fused": "lookup", "fused_g": "glookup",
                      "fused_c": "combo", "fused_sel": "sel",
-                     "fused_sel3": "sel3"}
+                     "fused_sel3": "sel3",
+                     # combo tail with single-level templates
+                     # (fused_quant="single": one M-tile pass/step,
+                     # half the weight stream — NOT bit-parity with
+                     # fast+int8, so it is timed and recorded but
+                     # EXCLUDED from the headline below).
+                     "fused_c1": "combo1"}
 
     # Mosaic can reject a Pallas program with a hard abort (SIGABRT) that
     # no try/except catches — probe each fused tail in a child process
@@ -238,6 +244,7 @@ def main():
     fused_tails_timed = {}  # JSON record: mode → exact tail program
     skipped_modes = {}  # JSON record: mode → why it has no measurement
     combo_zc = None
+    combo1_zc = None
     for name, tail in fused_tail_of.items():
         ok, zc = resolve_tail(ok_specs, tail)
         if not ok:
@@ -248,11 +255,17 @@ def main():
             skipped_modes[name] = f"mosaic gate rejected tail '{tail}'"
             continue
         predictors[name] = RadarPredictor(
-            mode="fused", fused_tail=tail, fused_z_chunk=zc, **kw
+            mode="fused",
+            fused_tail="combo" if tail == "combo1" else tail,
+            fused_quant="single" if tail == "combo1" else "split",
+            fused_z_chunk=zc,
+            **kw,
         )
         fused_tails_timed[name] = tail if zc is None else f"{tail}@{zc}"
         if tail == "combo":
             combo_zc = zc
+        elif tail == "combo1":
+            combo1_zc = zc
 
     mark("mosaic gate done")
 
@@ -287,7 +300,7 @@ def main():
     # interleaved phase, which keeps only the contested modes'
     # ~2.5 GB of int8 buffers resident.
     contested = {"fast_i8", "fused", "fused_g", "fused_c", "fused_sel",
-                 "fused_sel3"}
+                 "fused_sel3", "fused_c1"}
 
     def make_timer(predictor, cubes):
         return lambda: BATCH / slope_time(
@@ -360,8 +373,15 @@ def main():
                           "error": "all predictor modes failed warmup"}))
         sys.exit(1)
 
-    best_mode = max(rates, key=rates.get)
-    scans_per_sec = rates[best_mode]
+    # The headline may only be taken by a BIT-PARITY mode (every mode
+    # except fused_c1 scores decision- and probability-identical to
+    # the exact integer fast+int8 arithmetic; fused_c1's single-level
+    # templates trade that guarantee for speed — pipeline.fused_quant).
+    # It is timed and recorded like every other key, just not
+    # headline-eligible.
+    parity_rates = {k: v for k, v in rates.items() if k != "fused_c1"}
+    best_mode = max(parity_rates, key=parity_rates.get)
+    scans_per_sec = parity_rates[best_mode]
     # Latency probes run on the fastest SINGLE-SCAN path: the fused
     # kernel is a bulk path (scans ride the lane tile, so one scan
     # pads to 128) — serving single scans uses the fast path.
@@ -409,6 +429,7 @@ def main():
     r_tables = None
     r_gtables = None
     r_ctables = None
+    r_c1tables = None
     if "fused" in predictors or "fused_g" in predictors \
             or "fused_c" in predictors:
         try:
@@ -464,6 +485,21 @@ def main():
                 )
                 _ = jax.device_get(ctab(cube_k)[0][:1])
                 kernels["ctables_only"] = ctab
+            if "fused_c1" in predictors:
+                # Single-level combined kernel (fused_c1's own bound:
+                # one M-tile pass per step, half the weight stream).
+                quant1 = packer._quantized_split_templates(levels=1)
+                wc1 = build_combined_weights(
+                    quant1, dims, y_group=yg, levels=1
+                )
+                zc1 = combo1_zc or auto_z_chunk(_A.size_z, BATCH)
+                c1tab = jax.jit(
+                    lambda ck: onepass_tables_combined_i8(
+                        ck, wc1, interpret=interp, z_chunk=zc1
+                    )
+                )
+                _ = jax.device_get(c1tab(cube_k)[0][:1])
+                kernels["c1tables_only"] = c1tab
             kruns = {k: [] for k in kernels}
             for rnd in range(5):  # interleaved, same rationale as above
                 if rnd > 0:
@@ -479,6 +515,8 @@ def main():
                 r_gtables = float(np.median(kruns["gtables_only"]))
             if "ctables_only" in kruns:
                 r_ctables = float(np.median(kruns["ctables_only"]))
+            if "c1tables_only" in kruns:
+                r_c1tables = float(np.median(kruns["c1tables_only"]))
             runs.update(kruns)
         except Exception as e:
             print(f"# tables-only rate failed: {type(e).__name__}: "
@@ -544,6 +582,11 @@ def main():
                 **(
                     {"scans_per_sec_fused_ctables_only": round(r_ctables, 1)}
                     if r_ctables is not None
+                    else {}
+                ),
+                **(
+                    {"scans_per_sec_fused_c1tables_only": round(r_c1tables, 1)}
+                    if r_c1tables is not None
                     else {}
                 ),
                 "batch": BATCH,

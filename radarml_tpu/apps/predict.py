@@ -84,6 +84,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused Pallas kernel (the probe keeps a Mosaic "
                         "hard-abort from killing the CLI at its first "
                         "batch; only relevant with --mode fused on TPU)")
+    p.add_argument("--fused_quant", type=str, default="split",
+                   choices=["split", "single"],
+                   help="fused-mode template quantization: 'split' "
+                        "(default) keeps decisions bit-identical to "
+                        "fast+int8 via error-compensated hi/lo int8 "
+                        "templates; 'single' halves the kernel's "
+                        "weight rows/stream (one MXU tile pass per "
+                        "step) at a coarser template error (~1e-3 on "
+                        "probabilities vs split's ~1e-5 — "
+                        "RadarPredictor.fused_quant)")
     p.add_argument("--derived_targets", action="store_true",
                    help="derive targets from the raw cube on-device "
                         "instead of trusting the sensor's reports (the "
@@ -130,19 +140,24 @@ def main(argv=None) -> list:
 
         if jax.default_backend() == "tpu":
             tail = RadarPredictor.__dataclass_fields__["fused_tail"].default
+            # The single-level program (half the stacked rows) gates
+            # under its own spec name — a different Mosaic program.
+            spec = "combo1" if (
+                args.fused_quant == "single" and tail == "combo"
+            ) else tail
             padded = -(-max(int(args.batch_scans), 1) // 128) * 128
             ok, fused_zc = resolve_tail(
                 gate_fused_variants(
-                    (tail,), batch=padded, arena=args.scan_arena,
+                    (spec,), batch=padded, arena=args.scan_arena,
                     log=logger.warning,
                 ),
-                tail,
+                spec,
             )
             if not ok:
                 logger.warning(
                     "fused kernel (tail=%s) rejected by Mosaic on this "
                     "backend; falling back to mode=fast cube_dtype=int8 "
-                    "(identical decisions, ~0.6x bulk throughput)", tail,
+                    "(identical decisions, ~0.6x bulk throughput)", spec,
                 )
                 mode, cube_dtype = "fast", "int8"
             elif fused_zc is not None:
@@ -161,6 +176,7 @@ def main(argv=None) -> list:
         mode=mode,
         cube_dtype=cube_dtype,
         fused_z_chunk=fused_zc,
+        fused_quant=args.fused_quant if mode == "fused" else "split",
     )
 
     from radarml_tpu.utils import RateMeter, StageTimer, device_trace

@@ -119,6 +119,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "Mosaic hard-abort from crash-looping the "
                         "service; only relevant with --mode fused on "
                         "TPU)")
+    p.add_argument("--fused_quant", type=str, default="split",
+                   choices=["split", "single"],
+                   help="fused-mode template quantization: 'split' "
+                        "(default) keeps decisions bit-identical to "
+                        "fast+int8; 'single' halves the kernel's weight "
+                        "rows/stream (one MXU tile pass per step) at a "
+                        "coarser template error (~1e-3 on probabilities "
+                        "vs split's ~1e-5 — RadarPredictor.fused_quant)")
     add_scan_arena_flag(p)
     add_driver_flags(p)
     add_common_flags(p)
@@ -161,6 +169,11 @@ def main(argv=None) -> dict:
             )
 
             tail = RadarPredictor.__dataclass_fields__["fused_tail"].default
+            # The single-level program (half the stacked rows) gates
+            # under its own spec name — a different Mosaic program.
+            tail = "combo1" if (
+                args.fused_quant == "single" and tail == "combo"
+            ) else tail
             # Probe the exact programs this service will compile: the
             # kernel geometry keys on the scan arena, and the Mosaic
             # program on the LANE-PADDED batch — warmup compiles every
@@ -231,6 +244,7 @@ def main(argv=None) -> dict:
             model=model, calibration=calib,
             min_proba=args.min_proba, mode=mode,
             cube_dtype=cube_dtype, fused_z_chunk=zc,
+            fused_quant=args.fused_quant if mode == "fused" else "split",
         )
 
     predictor = build_predictor()

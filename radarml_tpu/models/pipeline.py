@@ -173,6 +173,27 @@ class RadarPredictor:
     # is stale for the current chip/Mosaic (ops auto_z_chunk docstring
     # says which numbers are measurement vs architecture).
     fused_z_chunk: Optional[int] = None
+    # Template quantization of the fused path (combo tail only):
+    #   "split"  — the error-compensated hi/lo int8 pair (default;
+    #              C2 = 2C rows, decisions BIT-IDENTICAL to
+    #              mode="fast"+int8, template error ≤ max|t|/32k per
+    #              element — _quantized_split_templates).
+    #   "single" — q1-only templates (C2 = C): the stacked combo dot
+    #              drops from 240 to 128 rows at the default arena —
+    #              ONE MXU M-tile pass per grid step instead of two —
+    #              with half the weight streaming and half the
+    #              resident m1/m2 accumulators. The price: template
+    #              error grows to ≤ max|t|/254 per element (~1e-3
+    #              relative on decisions vs the split mode's ~1e-5),
+    #              so decisions are NO LONGER guaranteed bit-identical
+    #              to fast+int8 — tests measure argmax agreement and
+    #              the proba delta on synthetic data
+    #              (tests/test_pallas_i8.py
+    #              test_fused_quant_single_decisions). Opt-in; never a
+    #              default. bench.py times it as "fused_c1" but
+    #              excludes it from the headline, which only a
+    #              bit-parity mode may take.
+    fused_quant: str = "split"
     mesh: object = None  # optional jax Mesh: shard scans over 'data'
     # Device dtype of the scan-cube stream. Radar cubes are 8-bit
     # sensor data (reference predict.py:90-91 GetRawImage yields
@@ -206,6 +227,16 @@ class RadarPredictor:
                 raise ValueError(
                     "fused_tail must be 'lookup', 'glookup', 'combo', "
                     "'sel' or 'sel3'"
+                )
+            if self.fused_quant not in ("split", "single"):
+                raise ValueError(
+                    "fused_quant must be 'split' or 'single'"
+                )
+            if self.fused_quant == "single" and self.fused_tail != "combo":
+                raise ValueError(
+                    "fused_quant='single' applies to fused_tail='combo' "
+                    "only (the measured-winner kernel the mode exists "
+                    "to push further)"
                 )
             if self.fused_z_chunk is not None:
                 zc = int(self.fused_z_chunk)
@@ -284,7 +315,7 @@ class RadarPredictor:
             off += size
         return out
 
-    def _quantized_split_templates(self):
+    def _quantized_split_templates(self, levels: int = 2):
         """Per-plane error-compensated int8 templates + scales.
 
         For each plane template t (C, H, W): a coarse per-class int8
@@ -302,6 +333,11 @@ class RadarPredictor:
         Also returns const_c = 128*Σt: int8 cubes carry value-128, and
         ⟨t, u⟩ = ⟨t, u-128⟩ + 128Σt folds the shift into a per-class
         constant.
+
+        `levels=1` (fused_quant="single") skips the residual pass and
+        returns (q1 (C, H, W), s1, None, const) — half the weight rows
+        with per-element error ≤ s1/2 ≈ max|t|/254 (the fused_quant
+        field comment has the trade).
         """
         outs = []
         for t in self._split_templates():
@@ -312,6 +348,17 @@ class RadarPredictor:
             a1 = np.abs(t).max(axis=(1, 2))
             s1 = np.where(a1 > 0, a1 / 127.0, 1.0)
             q1 = np.rint(t / s1[:, None, None])
+            const = jnp.asarray(128.0 * t.sum(axis=(1, 2)), jnp.float32)
+            if levels == 1:
+                outs.append(
+                    (
+                        jnp.asarray(q1.astype(np.int8)),
+                        jnp.asarray(s1, jnp.float32),
+                        None,
+                        const,
+                    )
+                )
+                continue
             r = t - q1 * s1[:, None, None]
             a2 = np.abs(r).max(axis=(1, 2))
             s2 = np.where(a2 > 0, a2 / 127.0, 1.0)
@@ -321,7 +368,7 @@ class RadarPredictor:
                     jnp.asarray(np.concatenate([q1, q2]).astype(np.int8)),
                     jnp.asarray(s1, jnp.float32),
                     jnp.asarray(s2, jnp.float32),
-                    jnp.asarray(128.0 * t.sum(axis=(1, 2)), jnp.float32),
+                    const,
                 )
             )
         return outs
@@ -529,13 +576,16 @@ class RadarPredictor:
             int(self.fused_z_chunk) if self.fused_z_chunk else None
         )
         scan = self.scan_arena
-        quant = self._quantized_split_templates()
+        levels = 1 if self.fused_quant == "single" else 2
+        quant = self._quantized_split_templates(levels=levels)
         dims = (scan.size_x, scan.size_y, scan.size_z)
         if tail == "combo":
             # y-grouped grid + ONE stacked dot per step (half the MXU
             # tile passes of glookup; ops CombinedWeights docstring).
+            # levels=1 (fused_quant="single") halves the stack again —
+            # one M-tile pass per step at the default arena.
             weights = build_combined_weights(
-                quant, dims, y_group=self._pack_y_group
+                quant, dims, y_group=self._pack_y_group, levels=levels
             )
         elif tail in ("sel3", "glookup"):
             # y-grouped GRID: ~30% fewer MACs (the kernel is MXU-bound
@@ -574,12 +624,13 @@ class RadarPredictor:
             cheap streaming pass over the table. Bit-identical to
             dequantizing the looked-up values: the lookup selects a
             single element, and s1*select(m) == select(s1*m) in f32.
+            Single-level quant (s2 None) has C2 = C: one scale term.
             """
             s1, s2, const = sc
-            return (
-                m_c2db[:C].astype(jnp.float32) * s1[:, None, None]
-                + m_c2db[C:].astype(jnp.float32) * s2[:, None, None]
-            )
+            hi = m_c2db[:C].astype(jnp.float32) * s1[:, None, None]
+            if s2 is None:
+                return hi
+            return hi + m_c2db[C:].astype(jnp.float32) * s2[:, None, None]
 
         def lookup_cd(m_cdb, idx):
             """(C, D, B) dequantized table, (B, T) indices → (B, T, C)."""
@@ -593,12 +644,13 @@ class RadarPredictor:
 
         def dequant_dc(m_dc2b, sc):
             """(D, C2, B) int32 raw table (kernel-native m3 order) →
-            (D, C, B) f32 dequantized."""
+            (D, C, B) f32 dequantized. Single-level quant (s2 None)
+            has C2 = C: one scale term."""
             s1, s2, _ = sc
-            return (
-                m_dc2b[:, :C].astype(jnp.float32) * s1[None, :, None]
-                + m_dc2b[:, C:].astype(jnp.float32) * s2[None, :, None]
-            )
+            hi = m_dc2b[:, :C].astype(jnp.float32) * s1[None, :, None]
+            if s2 is None:
+                return hi
+            return hi + m_dc2b[:, C:].astype(jnp.float32) * s2[None, :, None]
 
         def lookup_dc(m_dcb, idx):
             """(D, C, B) dequantized table, (B, T) indices → (B, T, C)."""

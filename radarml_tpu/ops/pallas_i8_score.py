@@ -731,12 +731,21 @@ class CombinedWeights(NamedTuple):
     wc: jax.Array  # (Z, NG, r1+r2+r3, X·Yg) int8 — stacked xz|yz|xy
     dims: Tuple[int, int, int, int]  # (X, Y, Z, C)
     y_group: int
+    #: quantization levels stacked on the class axis: 2 = the
+    #: error-compensated hi/lo split (C2 = 2C, bit-parity with
+    #: fast+int8), 1 = single-level q1-only templates (C2 = C — half
+    #: the weight rows, so the default-arena stack is ONE 128-row MXU
+    #: tile pass per step instead of two, half the weight streaming
+    #: and half the resident m1/m2 accumulators; the price is the
+    #: coarser template error s1/2 ≈ max|t|/254 per element instead
+    #: of s2/2 ≈ max|t|/32k — see pipeline.fused_quant).
+    levels: int = 2
 
     @property
     def row_segments(self) -> Tuple[int, int, int]:
         """(r1, r2, r3) padded row counts of the stacked blocks."""
         X, Y, Z, C = self.dims
-        C2 = 2 * C
+        C2 = self.levels * C
         return (
             _round_up(C2 * self.y_group, _ACC),
             _round_up(C2 * X, _ACC),
@@ -748,11 +757,19 @@ def build_combined_weights(
     quant: Sequence[Optional[tuple]],
     dims: Tuple[int, int, int],
     y_group: Optional[int] = None,
+    levels: int = 2,
 ) -> CombinedWeights:
     """Stacked single-dot weights (see CombinedWeights) from the
-    quantized templates of build_onepass_weights."""
+    quantized templates of build_onepass_weights. `levels` says how
+    many quantization levels the quant tuples stack on the class axis
+    (2 = hi/lo split templates, 1 = single-level — CombinedWeights
+    docstring)."""
     X, Y, Z = dims
     w1, w2, w3, C2, Yg = _grouped_weight_arrays(quant, dims, y_group)
+    if levels not in (1, 2) or C2 % levels:
+        raise ValueError(
+            f"levels {levels} does not divide the quant class axis {C2}"
+        )
     Yp = _round_up(Y, _SUBLANE)
     NG = Yp // Yg
     r1 = _round_up(C2 * Yg, _ACC)
@@ -765,7 +782,8 @@ def build_combined_weights(
         w3[None], (Z, NG, C2, X * Yg)
     )
     return CombinedWeights(
-        wc=jnp.asarray(wc), dims=(X, Y, Z, C2 // 2), y_group=Yg
+        wc=jnp.asarray(wc), dims=(X, Y, Z, C2 // levels), y_group=Yg,
+        levels=levels,
     )
 
 
@@ -898,7 +916,7 @@ def onepass_tables_combined_i8(
         raise TypeError("onepass_tables_combined_i8 takes "
                         "CombinedWeights (build_combined_weights)")
     X, Y, Z, C = weights.dims
-    C2 = 2 * C
+    C2 = weights.levels * C
     Yp = _round_up(Y, _SUBLANE)
     Yg = weights.y_group
     NG = Yp // Yg

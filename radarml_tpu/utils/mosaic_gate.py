@@ -30,9 +30,12 @@ comma-separated list; a tail's ``ok`` means it passed at EVERY batch
 service gates each distinct program in one child).
 
 Tail specs: a bare tail name probes the predictor's defaults; the
-``combo@<zc>`` form pins the combined kernel's z_chunk. When a bare
-``combo`` crashes the child, the parent walks a zc→zc/2→…→1 fallback
-ladder (re-probing ``combo@<smaller>``) before giving up — so a chip
+``combo@<zc>`` form pins the combined kernel's z_chunk, and
+``combo1`` probes the combo tail with single-level templates
+(``fused_quant="single"`` — pipeline field comment). When a bare
+``combo``/``combo1`` crashes the child, the parent walks a
+zc→zc/2→…→1 fallback ladder (re-probing ``combo@<smaller>``) before
+giving up — so a chip
 or Mosaic where the v5e-measured auto_z_chunk rule is stale degrades
 to a gated smaller chunk instead of losing the combo tail outright
 (ops/pallas_i8_score.auto_z_chunk documents which of its numbers are
@@ -81,7 +84,7 @@ def _zc_ladder_next(
     kernel — if that is rejected too the tail is genuinely out.
     """
     base, zc = split_tail_spec(spec)
-    if base != "combo":
+    if base not in ("combo", "combo1"):
         return None
     from radarml_tpu.apps.common_cli import parse_arena
     from radarml_tpu.ops.pallas_i8_score import auto_z_chunk
@@ -92,7 +95,7 @@ def _zc_ladder_next(
     nxt = zc // 2
     while nxt > 1 and Z % nxt:
         nxt //= 2
-    return f"combo@{max(nxt, 1)}" if zc > 1 else None
+    return f"{base}@{max(nxt, 1)}" if zc > 1 else None
 
 
 def gate_fused_variants(
@@ -333,8 +336,16 @@ def _child_main(argv: List[str]) -> int:
                     out = tab(packed_for(p, b))
                     _ = jax.device_get(out[0][:1, :1])
             else:
+                # "combo1" = the combo tail with single-level
+                # templates (fused_quant="single"; pipeline field
+                # comment) — a DIFFERENT Mosaic program (half the
+                # stacked rows), so it gates under its own name.
                 p = RadarPredictor(
-                    mode="fused", fused_tail=tail, fused_z_chunk=zc, **kw
+                    mode="fused",
+                    fused_tail="combo" if tail == "combo1" else tail,
+                    fused_quant="single" if tail == "combo1" else "split",
+                    fused_z_chunk=zc,
+                    **kw,
                 )
                 for b in batches:
                     xyz_np, valid_np = targets_by_batch[b]

@@ -147,6 +147,47 @@ def test_predict_app_fused_gate_ladder_pins_z_chunk(
     assert built["fused_z_chunk"] == 2
 
 
+def test_predict_app_fused_quant_single(workdir, trained, monkeypatch):
+    """--fused_quant single gates under the 'combo1' spec (its own
+    Mosaic program) and builds the single-level predictor; the CLI
+    loop still classifies end-to-end (interpret mode on CPU)."""
+    import jax
+
+    from radarml_tpu.apps import predict as predict_app
+    from radarml_tpu.models import pipeline as pipeline_mod
+    from radarml_tpu.utils import mosaic_gate
+
+    calls = {}
+    built = {}
+    real_predictor = pipeline_mod.RadarPredictor
+    real_backend = jax.default_backend
+
+    def fake_gate(tails, **kwargs):
+        calls["tails"] = list(tails)
+        return list(tails)
+
+    def spy(*a, **k):
+        monkeypatch.setattr(jax, "default_backend", real_backend)
+        p = real_predictor(*a, **k)
+        built["fused_quant"] = p.fused_quant
+        built["mode"] = p.mode
+        return p
+
+    spy.__dataclass_fields__ = real_predictor.__dataclass_fields__
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(mosaic_gate, "gate_fused_variants", fake_gate)
+    monkeypatch.setattr(predict_app, "RadarPredictor", spy)
+    results = predict_app.main(
+        ["--num_scans", "2", "--mode", "fused",
+         "--fused_quant", "single", "--min_proba", "0.0"]
+    )
+    assert results
+    assert calls["tails"] == ["combo1"]
+    assert built["mode"] == "fused"
+    assert built["fused_quant"] == "single"
+
+
 def test_capture_and_visualize_apps(workdir):
     from radarml_tpu.apps import ground_truth_samples as gts_app
     from radarml_tpu.apps import visualize as vis_app
@@ -372,6 +413,55 @@ def test_serve_app_fused_gate_probes_every_bucket(
     # served batches {1, 2, 4, 8, 16} all lane-pad to 128 — one
     # distinct padded program; a bigger max_batch adds its own pad.
     assert seen["batch"] == [128]
+
+
+def test_serve_app_fused_quant_single(workdir, trained, monkeypatch):
+    """serve --fused_quant single gates under the 'combo1' spec (the
+    single-level stack is a DIFFERENT Mosaic program than combo) and
+    serves end-to-end with the single-level predictor."""
+    import jax
+
+    from radarml_tpu.apps import serve as serve_app
+    from radarml_tpu.models import pipeline as pipeline_mod
+    from radarml_tpu.utils import mosaic_gate
+
+    seen = {}
+    built = {}
+    real_predictor = pipeline_mod.RadarPredictor
+
+    def fake_gate(tails, **kwargs):
+        seen["tails"] = list(tails)
+        monkeypatch.setattr(
+            jax, "default_backend", real_backend
+        )  # restore CPU backend for the run itself
+        return list(tails)
+
+    def spy(*a, **k):
+        p = real_predictor(*a, **k)
+        built["fused_quant"] = p.fused_quant
+        built["mode"] = p.mode
+        return p
+
+    spy.__dataclass_fields__ = real_predictor.__dataclass_fields__
+
+    real_backend = jax.default_backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(mosaic_gate, "gate_fused_variants", fake_gate)
+    monkeypatch.setattr(serve_app, "RadarPredictor", spy)
+    stats = serve_app.main(
+        [
+            "--duration", "2",
+            "--mode", "fused",
+            "--fused_quant", "single",
+            "--min_proba", "0.0",
+            "--max_batch", "8",
+            "--driver", "synthetic",
+        ]
+    )
+    assert stats["processed"] > 0
+    assert seen["tails"] == ["combo1"]
+    assert built["mode"] == "fused"
+    assert built["fused_quant"] == "single"
 
 
 def test_predict_app_derived_targets(workdir, trained):

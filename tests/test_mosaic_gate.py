@@ -227,6 +227,41 @@ def test_zc_ladder_on_catchable_combo_failure(monkeypatch):
     assert out == ["combo@2"]
 
 
+def test_zc_ladder_keeps_combo1_spec_name(monkeypatch):
+    """'combo1' (combo tail + fused_quant='single') walks the same
+    z_chunk ladder under its OWN spec name — the single-level stack is
+    a different Mosaic program, so its rungs must never alias combo's."""
+    _fake_tpu(monkeypatch)
+    calls = []
+
+    def fake_run(cmd, **k):
+        specs = [a for a in cmd if a.startswith("combo")]
+        calls.append(specs)
+        if specs == ["combo1"]:
+            return _Proc("", -6)
+        assert specs == ["combo1@2"]
+        return _Proc("ok combo1@2\n", 0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("combo1",), batch=2048)
+    assert out == ["combo1@2"]
+    assert calls == [["combo1"], ["combo1@2"]]
+    assert mosaic_gate.resolve_tail(out, "combo1") == (True, 2)
+    assert mosaic_gate.resolve_tail(out, "combo") == (False, None)
+
+
+def test_child_probes_combo1_as_single_quant(capsys):
+    """The child maps the 'combo1' spec to the combo tail with
+    single-level templates (interpret mode on CPU — the mapping and
+    the predictor construction are what's under test). A catchable
+    failure would print a 'fail' verdict instead of 'ok'."""
+    rc = mosaic_gate._child_main(["--batch", "8", "combo1@2"])
+    out = capsys.readouterr()
+    assert rc == 0
+    assert "ok combo1@2" in out.out
+    assert "fail" not in out.err
+
+
 def test_multi_batch_gate_passes_batch_list_to_child(monkeypatch):
     _fake_tpu(monkeypatch)
     seen = {}

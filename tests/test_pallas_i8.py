@@ -264,6 +264,51 @@ def test_onepass_tables_combined_match_int64_oracle(rng, dims, want_groups):
         onepass_tables_combined_i8(ck, w, interpret=True, z_chunk=4)
 
 
+def test_combined_single_level_match_int64_oracle(rng):
+    """levels=1 CombinedWeights: C2 = C rows (half the stack), tables
+    exactly equal the einsum oracle of the single-level templates —
+    the kernel arithmetic is exact either way; only the template
+    precision differs (pipeline.fused_quant)."""
+    from radarml_tpu.ops.pallas_i8_score import (
+        build_combined_weights, onepass_tables_combined_i8,
+    )
+
+    X, Y, Z = 4, 35, 9
+    C, B = 3, 3
+    q_xz = rng.integers(-127, 128, (C, X, Z)).astype(np.int8)
+    q_yz = rng.integers(-127, 128, (C, Y, Z)).astype(np.int8)
+    q_xy = rng.integers(-127, 128, (C, X, Y)).astype(np.int8)
+    quant = [(q, None, None, None) for q in (q_xz, q_yz, q_xy)]
+    w = build_combined_weights(quant, (X, Y, Z), levels=1)
+    assert w.levels == 1 and w.dims == (X, Y, Z, C)
+    r1, r2, r3 = w.row_segments
+    # half the split stack: segments pad C (not 2C) rows to the tile
+    assert (r1, r2, r3) == (48, 16, 8)
+    assert w.wc.shape[2] == r1 + r2 + r3
+    cubes = rng.integers(0, 256, (B, X, Y, Z)).astype(np.uint8)
+    ck = pack_cubes_i8(cubes, y_group=w.y_group)
+    m1, m2, m3 = onepass_tables_combined_i8(
+        ck, w, interpret=True, z_chunk=3
+    )
+    assert m1.shape[0] == C and m2.shape[0] == C and m3.shape[1] == C
+
+    v = cubes.astype(np.int64) - 128
+    np.testing.assert_array_equal(
+        np.asarray(m1)[:, :Y, :B].astype(np.int64),
+        np.einsum("cxz,bxyz->cyb", q_xz.astype(np.int64), v),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m2)[..., :B].astype(np.int64),
+        np.einsum("cyz,bxyz->cxb", q_yz.astype(np.int64), v),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m3)[..., :B].astype(np.int64),
+        np.einsum("cxy,bxyz->zcb", q_xy.astype(np.int64), v),
+    )
+    with pytest.raises(ValueError, match="levels"):
+        build_combined_weights(quant, (X, Y, Z), levels=2)  # C odd
+
+
 def test_auto_z_chunk_measured_rule():
     """auto_z_chunk encodes the zc_probe measurements: largest divisor
     of Z ≤ 8 whose cube block stays inside the VMEM lane budget (zc·B
@@ -442,6 +487,55 @@ def test_fused_z_chunk_override(rng):
         RadarPredictor(
             mode="fused", fused_tail="lookup", fused_z_chunk=2, **kw
         )
+
+
+def test_fused_quant_single_decisions(rng):
+    """fused_quant="single" (combo tail, q1-only templates): the
+    opt-in single-M-tile-pass mode. Not bit-parity with fast+int8 —
+    the contract is (a) the stacked dot shrinks to ONE 128-row M-tile
+    pass at the default arena, (b) decisions agree with the exact-f32
+    path on every slot of the fixture, and (c) probabilities sit
+    within the coarser template error (≤ max|t|/254 per element →
+    ~1e-3-level on probas, vs the split mode's ~1e-5)."""
+    kw = _linear_fixture(rng)
+    single = RadarPredictor(
+        mode="fused", fused_tail="combo", fused_quant="single", **kw
+    )
+    # one M-tile pass: the default-arena stack is exactly 128 rows
+    from radarml_tpu.ops.pallas_i8_score import build_combined_weights
+
+    q = single._quantized_split_templates(levels=1)
+    assert all(t[2] is None for t in q if t is not None)
+    wc = build_combined_weights(
+        q, (DEFAULT_ARENA.size_x, DEFAULT_ARENA.size_y,
+            DEFAULT_ARENA.size_z),
+        y_group=single._pack_y_group, levels=1,
+    )
+    assert sum(wc.row_segments) == 128  # vs the split stack's 240
+
+    exact = RadarPredictor(mode="exact", **kw)
+    split = RadarPredictor(mode="fused", fused_tail="combo", **kw)
+    cubes, xyz, valid = _scan_fixture(rng, B=8, T=3)
+    pe, _, proba_e = exact(cubes, xyz, valid)
+    ps, _, proba_s = split(split.pack_host(cubes), xyz, valid)
+    p1, _, proba_1 = single(single.pack_host(cubes), xyz, valid)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(pe))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(ps))
+    # split sits at ~1e-5 of exact; single at the documented ~1e-3
+    np.testing.assert_allclose(
+        np.asarray(proba_1), np.asarray(proba_e), atol=5e-3
+    )
+    assert (
+        np.abs(np.asarray(proba_1) - np.asarray(proba_e)).max()
+        > np.abs(np.asarray(proba_s) - np.asarray(proba_e)).max()
+    )
+
+    with pytest.raises(ValueError, match="single"):
+        RadarPredictor(
+            mode="fused", fused_tail="lookup", fused_quant="single", **kw
+        )
+    with pytest.raises(ValueError, match="fused_quant"):
+        RadarPredictor(mode="fused", fused_quant="bogus", **kw)
 
 
 def test_fused_mode_validation(rng):
