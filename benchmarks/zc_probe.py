@@ -37,6 +37,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SLOPE_KW = {}
 
+# Quantization levels of the combined weights under probe (2 = the
+# bit-parity hi/lo split stack, 1 = fused_quant="single"'s q1-only
+# stack — half the rows AND half the VMEM-resident accumulators, so
+# its VMEM frontier may sit at different (zc, batch) points than the
+# split kernel's measured zc·B <= 8192 rule). Carried in the
+# environment so the gate children (spawned via `python -c`) probe
+# the same program the parent times.
+_LEVELS_ENV = "RADARML_ZC_LEVELS"
+
+
+def _levels() -> int:
+    return int(os.environ.get(_LEVELS_ENV, "2"))
+
 
 def slope(call, fetch):
     from radarml_tpu.utils.slopetime import slope_time
@@ -141,9 +154,11 @@ def _setup(batch: int, cpu: bool = False):
         calibration=calib, min_proba=0.7, mode="fused",
     )
     a = DEFAULT_ARENA
-    quant = packer._quantized_split_templates()
+    lv = _levels()
+    quant = packer._quantized_split_templates(levels=lv)
     w = build_combined_weights(
-        quant, (a.size_x, a.size_y, a.size_z), y_group=packer._pack_y_group
+        quant, (a.size_x, a.size_y, a.size_z),
+        y_group=packer._pack_y_group, levels=lv,
     )
     return jax, w, packer
 
@@ -155,8 +170,13 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[2048, 4096])
     ap.add_argument("--cpu", action="store_true",
                     help="CPU smoke run (interpret kernels, tiny slopes)")
+    ap.add_argument("--levels", type=int, default=2, choices=[1, 2],
+                    help="combined-weight quantization levels: 2 = the "
+                         "bit-parity split stack (default), 1 = the "
+                         "fused_quant='single' q1-only stack")
     args = ap.parse_args()
 
+    os.environ[_LEVELS_ENV] = str(args.levels)
     if args.cpu:
         SLOPE_KW.update(k_lo=1, k_hi=2, reps=1, min_signal_s=0.0)
 
@@ -214,6 +234,7 @@ def main():
            for k, v in runs.items()},
         "rounds": {k: [round(x, 1) for x in v] for k, v in runs.items()},
         "device": str(jax.devices()[0].device_kind),
+        "levels": _levels(),
     }))
 
 

@@ -877,8 +877,11 @@ def auto_z_chunk(
       version): zc·batch is the lane count of the kernel's
       (X·Yg, zc·B) int8 cube block; 16384 lanes SIGABRTs (the
       double-buffered block plus outputs outgrow the ~16 MB VMEM),
-      8192 passes everywhere tried. A different chip generation or
-      Mosaic release may move this line.
+      8192 passes everywhere tried. The budget is pinned by the CUBE
+      BLOCK, not the accumulators: levels=1 weights (half the
+      resident int32 accumulators) still abort at 16384 lanes at
+      every batch tried (benchmarks/ZC_PROBE_C1.json). A different
+      chip generation or Mosaic release may move this line.
     * `zc_cap` 8 — MEASUREMENT: zc=16 at batch 256 fits the budget
       but loses to zc=8 (DMA granularity stops paying).
 
