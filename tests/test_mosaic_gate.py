@@ -305,3 +305,30 @@ def test_child_protocol_reports_each_passing_tail():
     assert ok == {"lookup"}
     # the bogus tail fails in-child with a catchable error, not a crash
     assert "not_a_tail" in failed
+
+
+def test_bench_headline_is_parity_only():
+    """bench.py's record integrity policy: the headline "value" may
+    only be taken by a bit-parity mode — fused_c1 (fused_quant=
+    "single", ~1e-3 proba error) is recorded but never headlined,
+    even when it is the fastest measured mode; and a record with no
+    parity mode at all must fail loudly, never headline c1."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    rates = {"fast_i8": 1.7e6, "fused_c": 4.1e6, "fused_c1": 5.6e6}
+    assert bench.pick_headline(rates) == ("fused_c", 4.1e6)
+    # without c1 the policy is a plain argmax
+    assert bench.pick_headline(
+        {k: v for k, v in rates.items() if k != "fused_c1"}
+    ) == ("fused_c", 4.1e6)
+    try:
+        bench.pick_headline({"fused_c1": 5.6e6})
+    except ValueError as e:
+        assert "parity" in str(e)
+    else:
+        raise AssertionError("c1-only rates must not produce a headline")
