@@ -109,15 +109,22 @@ def _grpc_scenario(
     start_evt = threading.Event()
     deadline = [0.0]
 
+    errors = [None] * n_clients
+
     def run(i):
-        client = RadarServingClient(addr, timeout_s=120.0, retries=0)
-        my = latencies[i]
-        start_evt.wait()
-        while time.perf_counter() < deadline[0]:
-            t0 = time.perf_counter()
-            client.classify(cube, targets, dtype=dtype)
-            my.append((time.perf_counter() - t0) * 1e3)
-        client.close()
+        # Same honesty rule as the stream scenario: a dying client
+        # must be visible in the record, not a silent rate deflation.
+        try:
+            client = RadarServingClient(addr, timeout_s=120.0, retries=0)
+            my = latencies[i]
+            start_evt.wait()
+            while time.perf_counter() < deadline[0]:
+                t0 = time.perf_counter()
+                client.classify(cube, targets, dtype=dtype)
+                my.append((time.perf_counter() - t0) * 1e3)
+            client.close()
+        except Exception as e:
+            errors[i] = f"{type(e).__name__}: {str(e)[:120]}"
 
     threads = [
         threading.Thread(target=run, args=(i,), daemon=True)
@@ -128,8 +135,10 @@ def _grpc_scenario(
     t_start = time.perf_counter()
     deadline[0] = t_start + duration_s
     start_evt.set()
-    for t in threads:
+    for i, t in enumerate(threads):
         t.join(timeout=duration_s + 120.0)
+        if t.is_alive() and errors[i] is None:
+            errors[i] = "client thread hung past join timeout"
     wall = time.perf_counter() - t_start
 
     stats1 = warm.get_stats()
@@ -150,6 +159,7 @@ def _grpc_scenario(
             "error": f"no request completed within {duration_s}s",
         }
     lat = np.concatenate(nonempty)
+    failed = {str(i): e for i, e in enumerate(errors) if e}
     return {
         "clients": n_clients,
         "batch_window_ms": window_ms,
@@ -158,6 +168,7 @@ def _grpc_scenario(
         "p50_ms": round(float(np.percentile(lat, 50)), 2),
         "p95_ms": round(float(np.percentile(lat, 95)), 2),
         "coalesce_ratio": round(reqs / batches, 2) if batches else None,
+        **({"client_errors": failed} if failed else {}),
     }
 
 
@@ -194,18 +205,27 @@ def _grpc_stream_scenario(
     start_evt = threading.Event()
     deadline = [0.0]
 
+    errors = [None] * n_clients
+
     def run(i):
-        client = RadarServingClient(addr, timeout_s=duration_s + 120.0)
-        start_evt.wait()
+        # A client thread that dies (transient RPC error) must show up
+        # in the record, not silently contribute counts[i]=0 and
+        # deflate scans_per_sec while the server-side stats deltas
+        # still include its work.
+        try:
+            client = RadarServingClient(addr, timeout_s=duration_s + 120.0)
+            start_evt.wait()
 
-        def scans():
-            while time.perf_counter() < deadline[0]:
-                yield (cube, targets)
+            def scans():
+                while time.perf_counter() < deadline[0]:
+                    yield (cube, targets)
 
-        counts[i] = sum(
-            1 for _ in client.classify_stream(scans(), dtype=dtype)
-        )
-        client.close()
+            counts[i] = sum(
+                1 for _ in client.classify_stream(scans(), dtype=dtype)
+            )
+            client.close()
+        except Exception as e:
+            errors[i] = f"{type(e).__name__}: {str(e)[:120]}"
 
     threads = [
         threading.Thread(target=run, args=(i,), daemon=True)
@@ -216,8 +236,10 @@ def _grpc_stream_scenario(
     t0 = time.perf_counter()
     deadline[0] = t0 + duration_s
     start_evt.set()
-    for t in threads:
+    for i, t in enumerate(threads):
         t.join(timeout=duration_s + 120.0)
+        if t.is_alive() and errors[i] is None:
+            errors[i] = "client thread hung past join timeout"
     wall = time.perf_counter() - t0
     stats1 = warm.get_stats()
     warm.close()
@@ -226,12 +248,14 @@ def _grpc_stream_scenario(
     n = sum(counts)
     reqs = stats1.classify_requests - stats0.classify_requests
     batches = stats1.classify_batches - stats0.classify_batches
+    failed = {str(i): e for i, e in enumerate(errors) if e}
     return {
         "clients": n_clients,
         "transport": "ClassifyStream",
         "requests": int(n),
         "scans_per_sec": round(n / wall, 1),
         "coalesce_ratio": round(reqs / batches, 2) if batches else None,
+        **({"client_errors": failed} if failed else {}),
     }
 
 

@@ -136,15 +136,15 @@ def main(argv=None) -> list:
         from radarml_tpu.utils.mosaic_gate import (
             gate_fused_variants,
             resolve_tail,
+            tail_spec,
         )
 
         if jax.default_backend() == "tpu":
             tail = RadarPredictor.__dataclass_fields__["fused_tail"].default
             # The single-level program (half the stacked rows) gates
-            # under its own spec name — a different Mosaic program.
-            spec = "combo1" if (
-                args.fused_quant == "single" and tail == "combo"
-            ) else tail
+            # under its own spec name — a different Mosaic program
+            # (tail_spec single-sources the mapping).
+            spec = tail_spec(tail, args.fused_quant)
             padded = -(-max(int(args.batch_scans), 1) // 128) * 128
             ok, fused_zc = resolve_tail(
                 gate_fused_variants(
@@ -217,13 +217,28 @@ def main(argv=None) -> list:
                     target_lists.append([(t.x, t.y, t.z) for t in targets])
                 if not cubes:
                     continue
+                n_real = len(cubes)
+                # Pin the device program's batch shape: scans with no
+                # targets are dropped above, so a partial batch would
+                # compile a DIFFERENT program per distinct size — each
+                # a fresh 30-90 s AOT compile over the tunnel, and in
+                # fused mode a lane-padded Mosaic program the startup
+                # gate never probed (a rejection there is a hard abort
+                # that would kill the CLI mid-run, bypassing the
+                # fallback). Padding with valid=False rows keeps every
+                # classify call on the ONE gated shape.
+                if n_real < args.batch_scans:
+                    cubes.extend([cubes[-1]] * (args.batch_scans - n_real))
+                    target_lists.extend(
+                        [[]] * (args.batch_scans - n_real)
+                    )
                 xyz, valid = pad_targets(target_lists, args.max_targets)
                 t0 = time.perf_counter()
                 with timer("classify"):
                     pred, proba, _ = predictor(np.stack(cubes), xyz, valid)
                     pred = np.asarray(pred)
                     proba = np.asarray(proba)
-                meter.tick(len(cubes))
+                meter.tick(n_real)
                 dt_ms = (time.perf_counter() - t0) * 1e3
                 for b in range(pred.shape[0]):
                     for t in range(pred.shape[1]):

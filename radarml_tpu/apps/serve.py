@@ -126,7 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "fast+int8; 'single' halves the kernel's weight "
                         "rows/stream (one MXU tile pass per step) at a "
                         "coarser template error (~1e-3 on probabilities "
-                        "vs split's ~1e-5 — RadarPredictor.fused_quant)")
+                        "vs split's ~1e-5 — RadarPredictor.fused_quant). "
+                        "Single-level bulk throughput peaks at batch "
+                        "8192 where the split default prefers 4096 "
+                        "(benchmarks/ZC_PROBE_C1.json)")
     add_scan_arena_flag(p)
     add_driver_flags(p)
     add_common_flags(p)
@@ -166,14 +169,14 @@ def main(argv=None) -> dict:
             from radarml_tpu.utils.mosaic_gate import (
                 gate_fused_variants,
                 resolve_tail,
+                tail_spec,
             )
 
             tail = RadarPredictor.__dataclass_fields__["fused_tail"].default
             # The single-level program (half the stacked rows) gates
-            # under its own spec name — a different Mosaic program.
-            tail = "combo1" if (
-                args.fused_quant == "single" and tail == "combo"
-            ) else tail
+            # under its own spec name — a different Mosaic program
+            # (tail_spec single-sources the mapping).
+            tail = tail_spec(tail, args.fused_quant)
             # Probe the exact programs this service will compile: the
             # kernel geometry keys on the scan arena, and the Mosaic
             # program on the LANE-PADDED batch — warmup compiles every

@@ -220,15 +220,29 @@ class RadarServingServer:
                 # the queue was claimed by a leader whose _run_batch
                 # always sets done (success or drained error) — wait
                 # for that done-set so this function's contract
-                # ("always returns with done set") holds on both paths.
+                # ("always returns with done set") holds on both
+                # paths. The wait is BOUNDED: _run_batch only catches
+                # Exception, so a leader thread killed by a
+                # BaseException (interpreter shutdown) or wedged in a
+                # device call through a tunnel outage would otherwise
+                # hang this handler forever — after the deadline the
+                # row self-drains (done.set is idempotent and result
+                # is read only after done, so a late leader completion
+                # is benign).
                 with self._bq_lock:
                     mine = p in self._bq
                     if mine:
                         self._bq.remove(p)
                 if mine:
                     self._drain_batch([p], RuntimeError("server stopped"))
-                else:
-                    p.done.wait()
+                elif not p.done.wait(timeout=60.0):
+                    self._drain_batch(
+                        [p],
+                        RuntimeError(
+                            "server stopped; in-flight batch never "
+                            "completed"
+                        ),
+                    )
                 return
             if self._leaders.acquire(blocking=False):
                 try:

@@ -59,6 +59,32 @@ def split_tail_spec(spec: str) -> Tuple[str, Optional[int]]:
     return (base, int(zc)) if sep else (base, None)
 
 
+def tail_spec(tail: str, fused_quant: str = "split") -> str:
+    """Gate spec name for a predictor's (fused_tail, fused_quant) —
+    the single-level combo stack (fused_quant="single") is a DIFFERENT
+    Mosaic program (half the stacked rows), so it gates under its own
+    'combo1' name. The single source of this mapping: every caller
+    that gates a fused predictor (bench.py, apps/predict.py,
+    apps/serve.py, _child_main here) goes through this pair so the
+    gate can never vouch for a different program than the one served.
+    """
+    return "combo1" if (tail, fused_quant) == ("combo", "single") else tail
+
+
+def spec_predictor_kwargs(spec: str) -> dict:
+    """RadarPredictor kwargs selecting the exact fused program a gate
+    spec names — the inverse of tail_spec (+ the pinned z_chunk, if
+    the spec carries one from the fallback ladder)."""
+    base, zc = split_tail_spec(spec)
+    kw = {
+        "fused_tail": "combo" if base == "combo1" else base,
+        "fused_quant": "single" if base == "combo1" else "split",
+    }
+    if zc is not None:
+        kw["fused_z_chunk"] = zc
+    return kw
+
+
 def resolve_tail(
     passed: Iterable[str], tail: str
 ) -> Tuple[bool, Optional[int]]:
@@ -79,9 +105,14 @@ def _zc_ladder_next(
 
     A bare 'combo' rejection means auto_z_chunk's measured rule picked
     a chunk Mosaic rejects at (one of) the caller's batches; retry at
-    half the largest auto chunk across the batches, halving further
-    (skipping non-divisors of Z) down to zc=1, the single-slice
-    kernel — if that is rejected too the tail is genuinely out.
+    half the SMALLEST auto chunk across the batches — a ladder rung
+    pins one zc for every batch, and only the largest batch's auto
+    chunk (the min: auto shrinks as B grows) keeps zc·B inside the
+    lane budget at every batch; starting from the max would spend
+    30-90 s child probes on programs the budget already forbids at
+    the big batches. Halve further (skipping non-divisors of Z) down
+    to zc=1, the single-slice kernel — if that is rejected too the
+    tail is genuinely out.
     """
     base, zc = split_tail_spec(spec)
     if base not in ("combo", "combo1"):
@@ -91,7 +122,13 @@ def _zc_ladder_next(
 
     Z = parse_arena(arena).size_z
     if zc is None:
-        zc = max(auto_z_chunk(Z, b) for b in batches)
+        chunks = [auto_z_chunk(Z, b) for b in batches]
+        zc = min(chunks)
+        if zc == 1 and max(chunks) > 1:
+            # The bare probe already ran zc=1 at the largest batch but
+            # bigger chunks at the smaller ones — one rung pinning
+            # zc=1 everywhere is still a new program set worth trying.
+            return f"{base}@1"
     nxt = zc // 2
     while nxt > 1 and Z % nxt:
         nxt //= 2
@@ -336,16 +373,11 @@ def _child_main(argv: List[str]) -> int:
                     out = tab(packed_for(p, b))
                     _ = jax.device_get(out[0][:1, :1])
             else:
-                # "combo1" = the combo tail with single-level
-                # templates (fused_quant="single"; pipeline field
-                # comment) — a DIFFERENT Mosaic program (half the
-                # stacked rows), so it gates under its own name.
+                # spec → exact program: spec_predictor_kwargs is the
+                # single source of the combo1 ↔ fused_quant="single"
+                # mapping (a different Mosaic program, own gate name).
                 p = RadarPredictor(
-                    mode="fused",
-                    fused_tail="combo" if tail == "combo1" else tail,
-                    fused_quant="single" if tail == "combo1" else "split",
-                    fused_z_chunk=zc,
-                    **kw,
+                    mode="fused", **spec_predictor_kwargs(spec), **kw
                 )
                 for b in batches:
                     xyz_np, valid_np = targets_by_batch[b]

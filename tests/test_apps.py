@@ -623,3 +623,57 @@ def test_predict_app_cross_scan_arena(workdir, trained):
     for (n1, p1), (n2, p2) in zip(results, expected):
         assert n1 == n2
         np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+
+def test_predict_app_pins_batch_shape(workdir, trained, monkeypatch):
+    """Partial batches (scans whose target list is empty are dropped)
+    must pad to --batch_scans with valid=False rows so every classify
+    call runs the ONE program shape the startup gate vouched for — a
+    partial size would compile a different (ungated) program per
+    distinct count."""
+    from radarml_tpu.apps import predict as predict_app
+    from radarml_tpu.models import pipeline as pipeline_mod
+
+    shapes = []
+    real_predictor = pipeline_mod.RadarPredictor
+
+    class Spy:
+        __dataclass_fields__ = real_predictor.__dataclass_fields__
+
+        def __init__(self, *a, **k):
+            self._p = real_predictor(*a, **k)
+
+        def __call__(self, cubes, xyz, valid):
+            shapes.append((cubes.shape[0], bool(valid.all())))
+            return self._p(cubes, xyz, valid)
+
+    class FlakyTargets:
+        """Wraps the session driver: every other scan has no targets."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self._n = 0
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def get_sensor_targets(self):
+            self._n += 1
+            if self._n % 2 == 0:
+                return []
+            return self._inner.get_sensor_targets()
+
+    real_build = predict_app.build_driver
+    monkeypatch.setattr(predict_app, "RadarPredictor", Spy)
+    monkeypatch.setattr(
+        predict_app, "build_driver",
+        lambda *a, **k: FlakyTargets(real_build(*a, **k)),
+    )
+    results = predict_app.main(
+        ["--num_scans", "4", "--batch_scans", "4", "--min_proba", "0.0"]
+    )
+    assert results  # the real scans still classify
+    assert shapes, "predictor never called"
+    # every call ran at exactly batch_scans, with padding rows invalid
+    assert all(b == 4 for b, _ in shapes)
+    assert any(not all_valid for _, all_valid in shapes)

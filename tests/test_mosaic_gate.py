@@ -332,3 +332,49 @@ def test_bench_headline_is_parity_only():
         assert "parity" in str(e)
     else:
         raise AssertionError("c1-only rates must not produce a headline")
+
+
+def test_zc_ladder_multi_batch_pins_lane_safe_chunk(monkeypatch):
+    """With mixed batches a ladder rung pins ONE zc for every batch,
+    so it must start from the SMALLEST auto chunk (the largest
+    batch's — the only pin inside the lane budget at every batch);
+    rungs above it are programs the budget already forbids, each a
+    30-90 s child probe wasted at service startup."""
+    _fake_tpu(monkeypatch)
+    calls = []
+
+    def fake_run(cmd, **k):
+        specs = [a for a in cmd if a.startswith("combo")]
+        calls.append(specs)
+        if specs == ["combo"]:
+            return _Proc("", 0, stderr="fail combo XlaRuntimeError: x\n")
+        return _Proc(f"ok {specs[0]}\n", 0)
+
+    # batches 128 and 2048: auto chunks are 8 and 4 -> first rung
+    # must be combo@2 (half of min=4), never combo@4 (= half of
+    # max=8, which is 8192 lanes at 2048 -- already the bare probe).
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("combo",), batch=[128, 2048])
+    assert out == ["combo@2"]
+    assert calls == [["combo"], ["combo@2"]]
+
+
+def test_zc_ladder_mixed_batches_retries_pinned_one(monkeypatch):
+    """min(auto)=1 with bigger chunks at small batches: the bare probe
+    never ran zc=1 at the SMALL batches, so the ladder still owes one
+    rung pinning zc=1 everywhere before giving the tail up."""
+    _fake_tpu(monkeypatch)
+    calls = []
+
+    def fake_run(cmd, **k):
+        specs = [a for a in cmd if a.startswith("combo")]
+        calls.append(specs)
+        if specs == ["combo"]:
+            return _Proc("", 0, stderr="fail combo XlaRuntimeError: x\n")
+        return _Proc(f"ok {specs[0]}\n", 0)
+
+    # batches 128 and 8192: auto chunks are 8 and 1.
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = mosaic_gate.gate_fused_variants(("combo",), batch=[128, 8192])
+    assert out == ["combo@1"]
+    assert calls == [["combo"], ["combo@1"]]
